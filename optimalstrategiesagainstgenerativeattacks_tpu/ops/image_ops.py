@@ -1,0 +1,88 @@
+"""Spatial image ops, NHWC: nearest upscale, depthwise blur, pooling.
+
+TPU-first notes: nearest upscale is a reshape+broadcast (no gather);
+average pooling is ``lax.reduce_window``; the 3x3 [1,2,1] blur is a
+depthwise conv with ``feature_group_count=C`` so XLA keeps it on the
+convolution path.  Parity targets: ``model_blocks.upscale2d`` (:177-195),
+``BlurLayer`` (:227-251), torch ``AvgPool2d(2)`` / ``AdaptiveMaxPool2d``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+def upscale2d(x: jnp.ndarray, factor: int = 2, gain: float = 1.0) -> jnp.ndarray:
+    """Nearest-neighbour upscale of NHWC by an integer factor."""
+    assert x.ndim == 4
+    if gain != 1:
+        x = x * gain
+    if factor == 1:
+        return x
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, factor, w, factor, c))
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+def avg_pool2d(x: jnp.ndarray, window: int = 2, stride: int | None = None) -> jnp.ndarray:
+    """Average pooling over NHWC with a square window (valid padding)."""
+    stride = stride or window
+    out = lax.reduce_window(
+        x,
+        0.0 if x.dtype == jnp.float32 else jnp.zeros((), x.dtype),
+        lax.add,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )
+    return out / (window * window)
+
+
+def max_pool2d(x: jnp.ndarray, window: int = 2, stride: int | None = None) -> jnp.ndarray:
+    """Max pooling over NHWC with a square window (valid padding)."""
+    stride = stride or window
+    return lax.reduce_window(
+        x,
+        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )
+
+
+def adaptive_max_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """Global spatial max: NHWC -> [B, C] (AdaptiveMaxPool2d((1,1)) + flatten)."""
+    return x.max(axis=(1, 2))
+
+
+def adaptive_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """Global spatial mean: NHWC -> [B, C]."""
+    return x.mean(axis=(1, 2))
+
+
+def blur3x3(x: jnp.ndarray, normalize: bool = True, stride: int = 1) -> jnp.ndarray:
+    """Depthwise [1,2,1] x [1,2,1] blur over NHWC (StyleGAN BlurLayer)."""
+    k1d = np.array([1.0, 2.0, 1.0], dtype=np.float32)
+    k = np.outer(k1d, k1d)
+    if normalize:
+        k = k / k.sum()
+    c = x.shape[-1]
+    # HWIO with feature groups: [3, 3, 1, C]
+    kernel = jnp.asarray(np.tile(k[:, :, None, None], (1, 1, 1, c)), dtype=x.dtype)
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, stride),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    """LeakyReLU with the project-wide default slope of 0.2."""
+    return jnp.where(x >= 0, x, negative_slope * x)

@@ -1,0 +1,139 @@
+"""Config system: typed dataclass configs with an ``args.json`` round-trip.
+
+The reference snapshots argparse namespaces to ``<outdir>/args.json`` at
+launch (``training/utils.py:142-157``) and reloads them at eval time to
+rebuild the exact model (``eval_gim_on_authentication.py:182-192``).  That
+round-trip is part of the public contract, so configs here serialise to the
+same flat-JSON shape with the same key names; the back-compat shim mapping
+``target_img_size`` -> ``img_size`` is honoured on load.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+def save_args(args, outdir: str) -> str:
+    """Snapshot a config (dataclass, dict, or argparse namespace) to args.json."""
+    os.makedirs(outdir, exist_ok=True)
+    json_path = os.path.join(outdir, "args.json")
+    if dataclasses.is_dataclass(args) and not isinstance(args, type):
+        payload = dataclasses.asdict(args)
+    elif isinstance(args, dict):
+        payload = args
+    else:
+        payload = dict(args.__dict__)
+    with open(json_path, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+    return json_path
+
+
+def load_args(outdir: str) -> dict:
+    """Load the args.json snapshot; applies the target_img_size back-compat shim."""
+    json_path = os.path.join(outdir, "args.json")
+    with open(json_path, "r") as f:
+        args_dict = json.load(f)
+    if "img_size" not in args_dict and "target_img_size" in args_dict:
+        args_dict["img_size"] = args_dict["target_img_size"]
+    return args_dict
+
+
+def _filter_fields(cls, d: dict) -> dict:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+@dataclass
+class GaussianGameConfig:
+    """Hyperparameters of the synthetic Gaussian GIM game.
+
+    Defaults mirror the reference CLI (``train_gim_on_gaussians.py:53-89``).
+    """
+
+    outdir: str = "./gim_gaussians_outdir/"
+    resume_from_ckpt: Optional[str] = None
+    pretrained: Optional[str] = None
+    n_iters: int = 500_000
+    batch_size: int = 4096
+    m: int = 1
+    n: int = 10
+    k: int = 10
+    prior_sigma: float = 10.0
+    src_sigma: float = 1.0
+    src_dim: int = 1
+    au_lr: float = 1e-4
+    im_lr: float = 1e-4
+    reg_param: float = 0.0
+    remove_noise_mean: bool = True
+    save_every: int = 100_000
+    eval_every: int = 1000
+    save_stats_every: int = 100
+    seed: int = 1
+    # TPU-native extras
+    log_every: int = 100          # device->host metric sync cadence
+    compute_dtype: str = "float32"
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "GaussianGameConfig":
+        return cls(**_filter_fields(cls, d))
+
+
+@dataclass
+class ImageGameConfig:
+    """Hyperparameters of the image GIM game (Omniglot / VoxCeleb2).
+
+    Defaults are the Omniglot paper hparams, mirroring the reference CLI
+    (``train_gim_on_imgs.py:107-162``).  VoxCeleb2 paper hparams per the
+    reference help text: img 64x64x3, au_lr=1e-4, im_lr=1e-4,
+    env_noise_mapping_lr=1e-6, reg_param=10.
+    """
+
+    outdir: str = "./gim_imgs_outdir/"
+    dataset_root: str = ""
+    dataset_type: str = "omniglot"  # omniglot | voxceleb2
+    ckpt_dir_name: str = "ckpts"
+    resume_from_ckpt: Optional[str] = None
+    pretrained: Optional[str] = None
+    n_epochs: int = 100_000
+    batch_size: int = 128
+    num_workers: int = 4
+    ds_n_examples_per_cls: int = 100
+    m: int = 1
+    n: int = 5
+    k: int = 5
+    img_channels: int = 1
+    img_size: int = 32
+    style_dim: int = 512
+    num_env_noise_layers: int = 4
+    au_lr: float = 1e-6
+    im_lr: float = 1e-5
+    beta1: float = 0.0
+    beta2: float = 0.99
+    env_noise_mapping_lr: float = 1e-7
+    lr_gamma: float = 0.3
+    milestones: List[int] = field(default_factory=list)
+    reg_param: float = 0.0
+    remove_noise_mean: bool = True
+    use_img_att: bool = False
+    save_every: int = 10_000
+    eval_every: int = 500
+    save_imgs_every: int = 500
+    n_au_steps: int = 1
+    dbg: bool = False
+    seed: int = 1
+    # TPU-native extras
+    log_every: int = 100          # tb_log_every in the reference loop
+    log_enc_every: int = 500      # tb_log_enc_every
+    compute_dtype: str = "bfloat16"
+    prefetch_depth: int = 2
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ImageGameConfig":
+        if "img_size" not in d and "target_img_size" in d:
+            d = dict(d)
+            d["img_size"] = d["target_img_size"]
+        return cls(**_filter_fields(cls, d))

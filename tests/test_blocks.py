@@ -1,0 +1,208 @@
+"""Shape/semantics tests for the block library, mirroring the reference's
+inline tests (model_blocks.py:871-924) plus spectral-norm behaviour."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimalstrategiesagainstgenerativeattacks_tpu.nn import blocks
+from optimalstrategiesagainstgenerativeattacks_tpu.ops.adain import ada_in, instance_norm
+from optimalstrategiesagainstgenerativeattacks_tpu.ops.image_ops import (
+    avg_pool2d,
+    blur3x3,
+    upscale2d,
+)
+
+
+def test_ada_in_shapes_and_stats(rng):
+    x = jax.random.normal(rng, (2, 8, 8, 3))
+    mean_s = jnp.array([[1.0, 2.0, 3.0], [0.0, 0.0, 0.0]])
+    std_s = jnp.array([[2.0, 1.0, 0.5], [1.0, 1.0, 1.0]])
+    y = ada_in(x, mean_s, std_s)
+    assert y.shape == x.shape
+    got_mean = np.asarray(y.mean(axis=(1, 2)))
+    np.testing.assert_allclose(got_mean, np.asarray(mean_s), atol=1e-3)
+
+
+def test_instance_norm_zero_mean_unit_var(rng):
+    x = jax.random.normal(rng, (2, 8, 8, 3)) * 5 + 2
+    y = instance_norm(x)
+    np.testing.assert_allclose(np.asarray(y.mean(axis=(1, 2))), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y.var(axis=(1, 2))), 1.0, atol=1e-2)
+
+
+def test_upscale2d_nearest():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    y = upscale2d(x, 2)
+    assert y.shape == (1, 4, 4, 1)
+    np.testing.assert_allclose(np.asarray(y[0, :2, :4, 0]), [[0, 0, 1, 1], [0, 0, 1, 1]])
+
+
+def test_avg_pool2d():
+    x = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    y = avg_pool2d(x, 2)
+    assert y.shape == (1, 2, 2, 1)
+    assert float(y[0, 0, 0, 0]) == pytest.approx((0 + 1 + 4 + 5) / 4)
+
+
+def test_blur3x3_preserves_constant():
+    x = jnp.ones((1, 8, 8, 3)) * 2.0
+    y = blur3x3(x)
+    assert y.shape == x.shape
+    # interior pixels of a constant image stay constant under a normalised blur
+    np.testing.assert_allclose(np.asarray(y[:, 1:-1, 1:-1, :]), 2.0, rtol=1e-5)
+
+
+def test_mlp_shapes(rng):
+    mlp = blocks.MLP([512, 512, 512, 512, 512, 4])
+    x = jax.random.normal(rng, (2, 5, 512))
+    v = mlp.init(rng, x)
+    assert mlp.apply(v, x).shape == (2, 5, 4)
+
+
+def test_res_block_down(rng):
+    m = blocks.ResBlockDown(16)
+    x = jax.random.normal(rng, (2, 8, 8, 4))
+    v = m.init(rng, x)
+    out, muts = m.apply(v, x, True, mutable=["spectral"])
+    assert out.shape == (2, 4, 4, 16)
+
+
+def test_res_block_up(rng):
+    m = blocks.ResBlockUp(8)
+    x = jax.random.normal(rng, (2, 1, 1, 16))
+    v = m.init(rng, x)
+    out = m.apply(v, x)
+    assert out.shape == (2, 2, 2, 8)
+
+
+def test_self_attention_identity_at_init(rng):
+    # gamma starts at 0 so the block is an identity at init (SelfAttention:529)
+    m = blocks.SelfAttention()
+    x = jax.random.normal(rng, (2, 4, 4, 16))
+    v = m.init(rng, x)
+    out = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_img_attention(rng):
+    # mirrors test_img_attention (model_blocks.py:909-917) at reduced size
+    m = blocks.ImgAttention(img1_channels=3)
+    x1 = jax.random.normal(rng, (2, 16, 16, 3))
+    x2 = jax.random.normal(rng, (2, 16, 16, 8))
+    v = m.init(rng, x1, x2)
+    out = m.apply(v, x1, x2)
+    assert out.shape == (2, 16, 16, 3)
+
+
+def test_ada_res_block2(rng):
+    m = blocks.AdaResBlock2(channels=16, style_dim=8)
+    x = jax.random.normal(rng, (2, 4, 4, 16))
+    s = jax.random.normal(rng, (2, 8))
+    v = m.init(rng, x, s)
+    assert m.apply(v, x, s).shape == x.shape
+
+
+def test_ada_res_block_up2(rng):
+    m = blocks.AdaResBlockUp2(in_channels=16, out_channels=8)
+    x = jax.random.normal(rng, (2, 4, 4, 16))
+    s = jax.random.normal(rng, (2, 8))
+    v = m.init(rng, x, s)
+    assert m.apply(v, x, s).shape == (2, 8, 8, 8)
+
+
+def test_legacy_ada_res_blocks(rng):
+    x = jax.random.normal(rng, (2, 4, 4, 16))
+    s1 = jax.random.normal(rng, (2, 32))
+    m = blocks.AdaResBlock()
+    v = m.init(rng, x, s1, s1)
+    assert m.apply(v, x, s1, s1).shape == x.shape
+
+    up = blocks.AdaResBlockUp(out_channels=8)
+    s2 = jax.random.normal(rng, (2, 16))
+    v = up.init(rng, x, s1, s2)
+    assert up.apply(v, x, s1, s2).shape == (2, 8, 8, 8)
+
+    d = blocks.ResBlockD()
+    v = d.init(rng, x)
+    assert d.apply(v, x).shape == x.shape
+
+
+def test_sg_kit_shapes(rng):
+    style = jax.random.normal(rng, (2, 8))
+    x = jax.random.normal(rng, (2, 4, 4, 16))
+
+    dec = blocks.SGDecoderBlock(out_channels=8)
+    v = dec.init({"params": rng, "noise": rng}, x, style, style)
+    out = dec.apply(v, x, style, style, rngs={"noise": rng})
+    assert out.shape == (2, 8, 8, 8)
+
+    enc = blocks.SGEncoderBlock(out_channels1=8, out_channels2=8, style_dim=8)
+    v = enc.init(rng, x)
+    h, s1, s2 = enc.apply(v, x)
+    assert h.shape == (2, 2, 2, 8) and s1.shape == (2, 8) and s2.shape == (2, 8)
+
+    dis = blocks.SGDisBlock(out_channels1=8, out_channels2=8)
+    v = dis.init(rng, x)
+    assert dis.apply(v, x).shape == (2, 2, 2, 8)
+
+    cib = blocks.SGConstInputBlock(channels=16, init_img_size=4)
+    v = cib.init({"params": rng, "noise": rng}, style, style)
+    assert cib.apply(v, style, style, rngs={"noise": rng}).shape == (2, 4, 4, 16)
+
+    toi = blocks.SGToImgBlock(img_channels=3)
+    v = toi.init(rng, x)
+    assert toi.apply(v, x).shape == (2, 4, 4, 3)
+
+    froi = blocks.SGFromImgBlock(out_channels=16)
+    v = froi.init(rng, jnp.ones((2, 4, 4, 3)))
+    assert froi.apply(v, jnp.ones((2, 4, 4, 3))).shape == (2, 4, 4, 16)
+
+
+def test_res_mlps(rng):
+    x = jax.random.normal(rng, (2, 8))
+    m = blocks.ResMLP([8, 16, 8])
+    v = m.init(rng, x)
+    assert m.apply(v, x).shape == (2, 8)
+    m2 = blocks.ResMLP2([8, 16, 8])
+    v2 = m2.init(rng, x)
+    assert m2.apply(v2, x).shape == (2, 8)
+    # replay init: skip linear becomes near-identity on the style block
+    newp = blocks.init_resmlp_to_replay(v["params"], style_dim=8, key=rng)
+    w = np.asarray(newp["linear"]["kernel"])
+    np.testing.assert_allclose(np.diag(w[:8, :8]), 1.0, atol=1e-2)
+
+
+def test_spectral_norm_normalises_kernel(rng):
+    """After many power iterations, the effective kernel has unit top
+    singular value (torch spectral_norm semantics)."""
+    m = blocks.SNConv(features=8, kernel_size=3, padding=1)
+    x = jax.random.normal(rng, (1, 4, 4, 4))
+    v = m.init(rng, x)
+    state = v
+    apply_fn = jax.jit(
+        lambda s, x: m.apply(
+            {"params": s["params"], "spectral": s["spectral"]}, x, True,
+            mutable=["spectral"],
+        )
+    )
+    for _ in range(50):
+        _, muts = apply_fn(state, x)
+        state = {"params": state["params"], "spectral": muts["spectral"]}
+    kernel = np.asarray(state["params"]["kernel"])
+    w = kernel.transpose(3, 2, 0, 1).reshape(8, -1)
+    u = np.asarray(state["spectral"]["u"])
+    vvec = np.asarray(state["spectral"]["v"])
+    sigma = u @ w @ vvec
+    true_sigma = np.linalg.svd(w, compute_uv=False)[0]
+    assert sigma == pytest.approx(true_sigma, rel=1e-3)
+
+
+def test_spectral_norm_eval_does_not_mutate(rng):
+    m = blocks.SNConv(features=4, kernel_size=1)
+    x = jax.random.normal(rng, (1, 4, 4, 4))
+    v = m.init(rng, x)
+    # eval path works without mutable collections
+    out = m.apply(v, x, False)
+    assert out.shape == (1, 4, 4, 4)
