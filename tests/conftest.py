@@ -4,7 +4,9 @@ exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the session env pins JAX_PLATFORMS=axon (the TPU tunnel);
+# tests must run on the 8-device CPU host mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import after env setup)
 import pytest  # noqa: E402
+
+# The env var alone is overridden by the axon TPU plugin; the config flag
+# set before backend initialisation wins.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-bound on CPU, so cache
 # compiled executables across runs.
