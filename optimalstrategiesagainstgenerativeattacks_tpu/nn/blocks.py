@@ -56,17 +56,23 @@ Dtype = Any
 
 
 def _conv2d(x, kernel, stride: int, padding: int, dtype: Optional[Dtype]):
-    """NHWC conv with HWIO kernel, symmetric int padding, f32 accumulation."""
+    """NHWC conv with HWIO kernel, symmetric int padding.
+
+    No explicit ``preferred_element_type``: its conv transpose rule cannot
+    mix a float32 cotangent with bfloat16 operands, and the TPU MXU
+    accumulates bf16 convolutions in float32 internally anyway.
+    """
     if dtype is not None:
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
+    else:
+        x = x.astype(kernel.dtype)
     return lax.conv_general_dilated(
         x,
         kernel,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
 
 

@@ -27,31 +27,50 @@ def upscale2d(x: jnp.ndarray, factor: int = 2, gain: float = 1.0) -> jnp.ndarray
     return x.reshape(b, h * factor, w * factor, c)
 
 
+def _window_view(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/w, w, W/w, w, C] non-overlapping window view.
+
+    Pooling with window == stride (the only case the models use) is a
+    reshape + reduction: friendlier to XLA's TPU tiling than
+    ``lax.reduce_window``, and — load-bearing — ``reduce_window`` has no
+    bfloat16 linearization rule in JAX 0.9 (jit-of-grad fails), while
+    reshaped reductions differentiate fine.
+    """
+    b, h, w, c = x.shape
+    assert h % window == 0 and w % window == 0, (x.shape, window)
+    return x.reshape(b, h // window, window, w // window, window, c)
+
+
 def avg_pool2d(x: jnp.ndarray, window: int = 2, stride: int | None = None) -> jnp.ndarray:
     """Average pooling over NHWC with a square window (valid padding)."""
     stride = stride or window
+    if stride == window:
+        return _window_view(x, window).mean(axis=(2, 4))
     out = lax.reduce_window(
-        x,
-        0.0 if x.dtype == jnp.float32 else jnp.zeros((), x.dtype),
+        x.astype(jnp.float32),
+        0.0,
         lax.add,
         (1, window, window, 1),
         (1, stride, stride, 1),
         "VALID",
-    )
-    return out / (window * window)
+    ) / (window * window)
+    return out.astype(x.dtype)
 
 
 def max_pool2d(x: jnp.ndarray, window: int = 2, stride: int | None = None) -> jnp.ndarray:
     """Max pooling over NHWC with a square window (valid padding)."""
     stride = stride or window
-    return lax.reduce_window(
-        x,
-        -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+    if stride == window:
+        return _window_view(x, window).max(axis=(2, 4))
+    out = lax.reduce_window(
+        x.astype(jnp.float32),
+        -jnp.inf,
         lax.max,
         (1, window, window, 1),
         (1, stride, stride, 1),
         "VALID",
     )
+    return out.astype(x.dtype)
 
 
 def adaptive_max_pool(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,615 @@
+"""Image GIM game: jitted alternating train step, eval, sampling, loop.
+
+Replaces ``training/gim_img_trainer.py`` + ``training/gim_img_training.py``
+with the TPU-native design (SURVEY §7):
+
+  * One jitted ``train_step(state, batch)``: impersonator update (gated on
+    ``(step+1) % n_au_steps == 0`` via ``lax.cond``, matching
+    ``gim_img_training.py:225-232``) followed by the authenticator update
+    on the detached fake.  Per-sample losses are meaned in-step.
+  * The authenticator's six encoder passes (src/env x si/real/fake,
+    ``gim_img_trainer.py:104-111``) are fused into ONE pass of each
+    encoder over the concatenated image batch — bigger MXU batches, one
+    spectral-norm power iteration per step.
+  * Batches arrive uint8 NHWC (1 byte/pixel over PCIe) and are normalised
+    to [-1, 1] on device.
+  * LR schedules are optax piecewise-constant (MultiStepLR parity,
+    per-iteration stepping, resume-safe via the Adam step count); the
+    impersonator optimizer uses ``optax.multi_transform`` to give the
+    env-noise mapper its own LR (the reference's 6 param groups,
+    ``gim_img_trainer.py:51-58``).
+  * Spectral-norm u/v vectors update once per player per step (the
+    reference updates them on every torch forward in train mode — several
+    times per step; one power iteration per step converges to the same
+    sigma and costs less).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from optimalstrategiesagainstgenerativeattacks_tpu.data.episodic import normalize_uint8
+from optimalstrategiesagainstgenerativeattacks_tpu.ops.stats import custom_std
+from optimalstrategiesagainstgenerativeattacks_tpu.parallel.mesh import constrain_data
+from optimalstrategiesagainstgenerativeattacks_tpu.train.losses import (
+    bce_with_logits,
+    gan_accuracy,
+    grad2_penalty,
+)
+from optimalstrategiesagainstgenerativeattacks_tpu.train.state import GameState
+from optimalstrategiesagainstgenerativeattacks_tpu.utils.config import ImageGameConfig
+
+
+########################################################################################################################
+# Optimizers / schedules
+########################################################################################################################
+
+
+def make_lr_schedule(base_lr: float, milestones, gamma: float):
+    """MultiStepLR parity (``gim_img_trainer.py:175-177``), stepped per iteration."""
+    if not milestones:
+        return optax.constant_schedule(base_lr)
+    return optax.piecewise_constant_schedule(
+        base_lr, {int(mi): gamma for mi in milestones}
+    )
+
+
+def make_optimizers(cfg: ImageGameConfig):
+    au_sched = make_lr_schedule(cfg.au_lr, cfg.milestones, cfg.lr_gamma)
+    im_sched = make_lr_schedule(cfg.im_lr, cfg.milestones, cfg.lr_gamma)
+    noise_sched = make_lr_schedule(cfg.env_noise_mapping_lr, cfg.milestones, cfg.lr_gamma)
+
+    opt_au = optax.adam(au_sched, b1=cfg.beta1, b2=cfg.beta2)
+
+    def im_labels(params):
+        return {k: ("noise" if k == "env_noise_mapper" else "main") for k in params}
+
+    opt_im = optax.multi_transform(
+        {
+            "main": optax.adam(im_sched, b1=cfg.beta1, b2=cfg.beta2),
+            "noise": optax.adam(noise_sched, b1=cfg.beta1, b2=cfg.beta2),
+        },
+        im_labels,
+    )
+    return opt_au, opt_im, (au_sched, im_sched, noise_sched)
+
+
+def create_state(cfg: ImageGameConfig, au, im, rng: jax.Array):
+    """Initialise both players + optimizers; returns (state, opt_au, opt_im, scheds)."""
+    k_au, k_im, k_state = jax.random.split(rng, 3)
+    h = w = cfg.img_size
+    c = cfg.img_channels
+    test = jnp.zeros((1, cfg.n, h, w, c))
+    si = jnp.zeros((1, cfg.k, h, w, c))
+    leaked = jnp.zeros((1, cfg.m, h, w, c))
+
+    au_vars = jax.jit(lambda k: au.init(k, test, si))(k_au)
+    im_vars = jax.jit(
+        lambda k: im.init({"params": k, "noise": k}, leaked, cfg.n)
+    )(k_im)
+
+    opt_au, opt_im, scheds = make_optimizers(cfg)
+    state = GameState(
+        step=jnp.asarray(-1, jnp.int32),
+        params_au=au_vars["params"],
+        params_im=im_vars["params"],
+        spectral_au=au_vars.get("spectral", {}),
+        spectral_im=im_vars.get("spectral", {}),
+        opt_au=opt_au.init(au_vars["params"]),
+        opt_im=opt_im.init(im_vars["params"]),
+        rng=k_state,
+    )
+    return state, opt_au, opt_im, scheds
+
+
+########################################################################################################################
+# Forward helpers
+########################################################################################################################
+
+
+def _au_forward_pair(au, params_au, spectral_au, test, si):
+    """Fused eval-mode authenticator score of (test, si): one pass of each
+    encoder over [si; test], then the discriminator head."""
+    b = test.shape[0]
+    n, k = test.shape[1], si.shape[1]
+    img_shape = test.shape[2:]
+    flat = jnp.concatenate(
+        [si.reshape(b * k, *img_shape), test.reshape(b * n, *img_shape)], axis=0
+    )
+    variables = {"params": params_au, "spectral": spectral_au}
+    src, env = au.apply(variables, flat, False, method=au.encode_flat)
+    si_src, test_src = src[: b * k].reshape(b, k, -1), src[b * k :].reshape(b, n, -1)
+    si_env, test_env = env[: b * k].reshape(b, k, -1), env[b * k :].reshape(b, n, -1)
+    return au.apply(variables, test_src, test_env, si_src, si_env, method=au.discriminate)
+
+
+def _au_outputs(au, params_au, spectral_au, real, fake, si, update_sn):
+    """Fused authenticator forward: one pass of each encoder over
+    [si; real; fake], then two discriminator-head calls.
+
+    Returns (out_real, out_fake, new_spectral)."""
+    b = real.shape[0]
+    n, k = real.shape[1], si.shape[1]
+    img_shape = real.shape[2:]
+    flat = jnp.concatenate(
+        [
+            si.reshape(b * k, *img_shape),
+            real.reshape(b * n, *img_shape),
+            fake.reshape(b * n, *img_shape),
+        ],
+        axis=0,
+    )
+    variables = {"params": params_au, "spectral": spectral_au}
+    if update_sn:
+        (src, env), muts = au.apply(
+            variables, flat, True, method=au.encode_flat, mutable=["spectral"]
+        )
+        new_spectral = muts["spectral"]
+    else:
+        src, env = au.apply(variables, flat, False, method=au.encode_flat)
+        new_spectral = spectral_au
+
+    def split(x):
+        si_e = x[: b * k].reshape(b, k, -1)
+        real_e = x[b * k : b * (k + n)].reshape(b, n, -1)
+        fake_e = x[b * (k + n) :].reshape(b, n, -1)
+        return si_e, real_e, fake_e
+
+    si_src, real_src, fake_src = split(src)
+    si_env, real_env, fake_env = split(env)
+    out_real = au.apply(variables, real_src, real_env, si_src, si_env, method=au.discriminate)
+    out_fake = au.apply(variables, fake_src, fake_env, si_src, si_env, method=au.discriminate)
+    return out_real, out_fake, new_spectral
+
+
+########################################################################################################################
+# Train / eval steps
+########################################################################################################################
+
+METRIC_KEYS = (
+    "im_loss",
+    "au_loss",
+    "au_loss_on_real",
+    "au_loss_on_fake",
+    "au_reg",
+    "au_out_on_real",
+    "au_out_on_fake",
+    "au_acc",
+    "au_acc_on_real",
+    "au_acc_on_fake",
+    "im_trained",
+)
+
+
+def make_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
+    """Build the single-step train function (jit with donated state)."""
+
+    def train_step(state: GameState, batch):
+        step = state.step + 1
+        rng, k_noise = jax.random.split(jax.random.fold_in(state.rng, step))
+        real = constrain_data(normalize_uint8(batch["real_sample"]), mesh)
+        leaked = constrain_data(normalize_uint8(batch["leaked_sample"]), mesh)
+        si = constrain_data(normalize_uint8(batch["si_sample"]), mesh)
+
+        # ---- impersonator: train when (step+1) % n_au_steps == 0 (:225-232)
+        def im_fwd(params_im, spectral_im, update_sn):
+            variables = {"params": params_im, "spectral": spectral_im}
+            kwargs = dict(rngs={"noise": k_noise})
+            if update_sn:
+                fake, muts = im.apply(
+                    variables, leaked, cfg.n, cfg.remove_noise_mean, True,
+                    mutable=["spectral"], **kwargs,
+                )
+                new_spec = muts["spectral"]
+            else:
+                fake = im.apply(
+                    variables, leaked, cfg.n, cfg.remove_noise_mean, False, **kwargs
+                )
+                new_spec = spectral_im
+            auth_out = _au_forward_pair(au, state.params_au, state.spectral_au, fake, si)
+            loss = bce_with_logits(auth_out, 1.0).mean()
+            return loss, (fake, new_spec)
+
+        def im_train_branch(_):
+            def loss_fn(params_im):
+                return im_fwd(params_im, state.spectral_im, True)
+
+            (loss, (fake, new_spec)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params_im
+            )
+            updates, new_opt = opt_im.update(grads, state.opt_im, state.params_im)
+            new_params = optax.apply_updates(state.params_im, updates)
+            return new_params, new_spec, new_opt, loss, fake, jnp.float32(1.0)
+
+        def im_eval_branch(_):
+            loss, (fake, _) = im_fwd(state.params_im, state.spectral_im, False)
+            return (
+                state.params_im,
+                state.spectral_im,
+                state.opt_im,
+                loss,
+                fake,
+                jnp.float32(0.0),
+            )
+
+        if cfg.n_au_steps == 1:
+            # static specialisation for the default schedule: no cond, half
+            # the generator-side compile
+            new_params_im, new_spectral_im, new_opt_im, im_loss, fake, im_trained = (
+                im_train_branch(None)
+            )
+        else:
+            do_im_train = ((step + 1) % cfg.n_au_steps) == 0
+            new_params_im, new_spectral_im, new_opt_im, im_loss, fake, im_trained = (
+                jax.lax.cond(do_im_train, im_train_branch, im_eval_branch, operand=None)
+            )
+
+        # ---- authenticator on the detached fake (:237-239, detach :166)
+        fake = jax.lax.stop_gradient(fake)
+
+        def au_loss_fn(params_au):
+            out_real, out_fake, new_spec = _au_outputs(
+                au, params_au, state.spectral_au, real, fake, si, True
+            )
+            loss_on_real = bce_with_logits(out_real, 1.0)
+            loss_on_fake = bce_with_logits(out_fake, 0.0)
+            if cfg.reg_param > 0:
+                def score_real(r, s):
+                    variables = {"params": params_au, "spectral": state.spectral_au}
+                    return au.apply(variables, r, s, False)
+
+                reg = cfg.reg_param * grad2_penalty(score_real, (real, si))
+            else:
+                reg = jnp.zeros_like(loss_on_real)
+            loss = (loss_on_real + loss_on_fake + reg).mean()
+            aux = (loss_on_real, loss_on_fake, reg, out_real, out_fake, new_spec)
+            return loss, aux
+
+        (au_loss, aux), au_grads = jax.value_and_grad(au_loss_fn, has_aux=True)(
+            state.params_au
+        )
+        loss_on_real, loss_on_fake, reg, out_real, out_fake, new_spectral_au = aux
+        au_updates, new_opt_au = opt_au.update(au_grads, state.opt_au, state.params_au)
+        new_params_au = optax.apply_updates(state.params_au, au_updates)
+
+        acc, acc_on_real, acc_on_fake = gan_accuracy(out_real, out_fake)
+        metrics = {
+            "im_loss": im_loss,
+            "au_loss": au_loss,
+            "au_loss_on_real": loss_on_real.mean(),
+            "au_loss_on_fake": loss_on_fake.mean(),
+            "au_reg": reg.mean(),
+            "au_out_on_real": out_real.mean(),
+            "au_out_on_fake": out_fake.mean(),
+            "au_acc": acc,
+            "au_acc_on_real": acc_on_real,
+            "au_acc_on_fake": acc_on_fake,
+            "im_trained": im_trained,
+        }
+        new_state = state.replace(
+            step=step,
+            params_au=new_params_au,
+            params_im=new_params_im,
+            spectral_au=new_spectral_au,
+            spectral_im=new_spectral_im,
+            opt_au=new_opt_au,
+            opt_im=new_opt_im,
+            rng=rng,
+        )
+        return new_state, metrics, fake
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: ImageGameConfig, au, im, mesh=None):
+    """No-grad eval step (``gim_img_training.py:76-95``): im + au forwards
+    in eval mode (no SN updates, no param changes)."""
+
+    def eval_step(state: GameState, batch, rng):
+        real = constrain_data(normalize_uint8(batch["real_sample"]), mesh)
+        leaked = constrain_data(normalize_uint8(batch["leaked_sample"]), mesh)
+        si = constrain_data(normalize_uint8(batch["si_sample"]), mesh)
+
+        fake = im.apply(
+            {"params": state.params_im, "spectral": state.spectral_im},
+            leaked, cfg.n, cfg.remove_noise_mean, False, rngs={"noise": rng},
+        )
+        im_out = _au_forward_pair(au, state.params_au, state.spectral_au, fake, si)
+        im_loss = bce_with_logits(im_out, 1.0).mean()
+
+        out_real, out_fake, _ = _au_outputs(
+            au, state.params_au, state.spectral_au, real, fake, si, False
+        )
+        loss_on_real = bce_with_logits(out_real, 1.0)
+        loss_on_fake = bce_with_logits(out_fake, 0.0)
+        acc, acc_on_real, acc_on_fake = gan_accuracy(out_real, out_fake)
+        return {
+            "im_loss": im_loss,
+            "au_loss": (loss_on_real + loss_on_fake).mean(),
+            "au_loss_on_real": loss_on_real.mean(),
+            "au_loss_on_fake": loss_on_fake.mean(),
+            "au_out_on_real": out_real.mean(),
+            "au_out_on_fake": out_fake.mean(),
+            "au_acc": acc,
+            "au_acc_on_real": acc_on_real,
+            "au_acc_on_fake": acc_on_fake,
+        }
+
+    return jax.jit(eval_step)
+
+
+def make_sample_fn(cfg: ImageGameConfig, im):
+    """impersonator_sample (``gim_img_trainer.py:151-155``): no-grad generation."""
+
+    def sample(state: GameState, leaked, rng):
+        leaked = normalize_uint8(leaked)
+        return im.apply(
+            {"params": state.params_im, "spectral": state.spectral_im},
+            leaked, cfg.n, cfg.remove_noise_mean, False, rngs={"noise": rng},
+        )
+
+    return jax.jit(sample)
+
+
+def make_diag_fn(cfg: ImageGameConfig, au, mesh=None):
+    """Encoder-statistic diagnostics (``gim_img_training.py:301-340``)."""
+
+    def diag(state: GameState, batch, fake):
+        real = constrain_data(normalize_uint8(batch["real_sample"]), mesh)
+        si = constrain_data(normalize_uint8(batch["si_sample"]), mesh)
+        variables = {"params": state.params_au, "spectral": state.spectral_au}
+
+        def enc(sample, method):
+            return au.apply(variables, sample, False, method=method)
+
+        real_src = enc(real, au.src_encode_sample)
+        si_src = enc(si, au.src_encode_sample)
+        fake_src = enc(fake, au.src_encode_sample)
+        real_env = enc(real, au.env_encode_sample)
+        si_env = enc(si, au.env_encode_sample)
+        fake_env = enc(fake, au.env_encode_sample)
+
+        return {
+            "au_src_mean_abs_real_minus_si": jnp.abs(
+                real_src.mean(1) - si_src.mean(1)
+            ).mean(),
+            "au_src_mean_abs_fake_minus_si": jnp.abs(
+                fake_src.mean(1) - si_src.mean(1)
+            ).mean(),
+            "au_env_mean_abs_real_minus_si": jnp.abs(
+                real_env.mean(1) - si_env.mean(1)
+            ).mean(),
+            "au_env_mean_abs_fake_minus_si": jnp.abs(
+                fake_env.mean(1) - si_env.mean(1)
+            ).mean(),
+            "au_src_std_real": custom_std(real_src).mean(),
+            "au_src_std_si": custom_std(si_src).mean(),
+            "au_src_std_fake": custom_std(fake_src).mean(),
+            "au_env_std_real": custom_std(real_env).mean(),
+            "au_env_std_si": custom_std(si_env).mean(),
+            "au_env_std_fake": custom_std(fake_env).mean(),
+        }
+
+    return jax.jit(diag)
+
+
+########################################################################################################################
+# Loop
+########################################################################################################################
+
+
+def _to_01(img_sample: np.ndarray) -> np.ndarray:
+    """[-1,1] -> [0,1] with clamp (``save_imgs``, ``gim_img_training.py:23-31``)."""
+    return (np.clip(np.asarray(img_sample, np.float32), -1, 1) + 1.0) / 2.0
+
+
+def sample_and_save_imgs(logger, sample_fn, state, ds, ds_prefix, indices, rng, dbg=False):
+    """Dump leaked/impersonator (+real/si in dbg) grids for chosen episodes
+    (``gim_img_training.py:34-73``)."""
+    gs = int(state.step)
+    for j, idx in enumerate(indices):
+        data = ds[idx]
+        leaked = data["leaked_sample"][None]  # [1, m, H, W, C] uint8
+        fake = sample_fn(state, jnp.asarray(leaked), jax.random.fold_in(rng, j))
+        cat = f"{ds_prefix} imgs_{idx:04d}"
+        logger.add_imgs(_to_01(np.asarray(leaked[0], np.float32) / 127.5 - 1.0), cat, "leaked", gs)
+        logger.add_imgs(_to_01(np.asarray(fake[0])), cat, "impersonator", gs)
+        if dbg:
+            logger.add_imgs(_to_01(data["real_sample"] / 127.5 - 1.0), cat, "real", gs)
+            logger.add_imgs(_to_01(data["si_sample"] / 127.5 - 1.0), cat, "si", gs)
+
+
+def run_eval(eval_step, state, ds, logger, batch_size, rng, num_workers=0):
+    """Eval over the val set (``gim_img_training.py:98-154``), logging means."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.data.episodic import (
+        EpisodicBatchLoader,
+    )
+
+    loader = EpisodicBatchLoader(
+        ds, batch_size=batch_size, shuffle=False, drop_last=True, num_workers=num_workers
+    )
+    sums: Dict[str, float] = {}
+    count = 0
+    for i, batch in enumerate(loader):
+        metrics = eval_step(state, batch, jax.random.fold_in(rng, i))
+        metrics = jax.device_get(metrics)
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        count += 1
+    if count == 0:
+        return {}
+    means = {k: v / count for k, v in sums.items()}
+    gs = int(state.step)
+    logger.add_scalar("eval losses", "dis loss", means["au_loss"], gs)
+    logger.add_scalar("eval losses", "dis loss on real", means["au_loss_on_real"], gs)
+    logger.add_scalar("eval losses", "dis loss on fake", means["au_loss_on_fake"], gs)
+    logger.add_scalar("eval au out", "au out on real", means["au_out_on_real"], gs)
+    logger.add_scalar("eval au out", "au out on fake", means["au_out_on_fake"], gs)
+    logger.add_scalar("eval accuracy", "dis acc", means["au_acc"], gs)
+    logger.add_scalar("eval accuracy", "dis acc on real", means["au_acc_on_real"], gs)
+    logger.add_scalar("eval accuracy", "dis acc on fake", means["au_acc_on_fake"], gs)
+    logger.add_scalar("eval losses", "gen loss", means["im_loss"], gs)
+    return means
+
+
+def train_gim_imgs(
+    cfg: ImageGameConfig,
+    train_ds,
+    val_ds,
+    au=None,
+    im=None,
+    logger=None,
+    mesh=None,
+    checkpoint_io=None,
+    progress: bool = True,
+):
+    """Full image-game training entry (``train_gim_imgs:357-447``)."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.data.episodic import (
+        EpisodicBatchLoader,
+    )
+    from optimalstrategiesagainstgenerativeattacks_tpu.data.prefetch import device_prefetch
+    from optimalstrategiesagainstgenerativeattacks_tpu.models import image as imodels
+    from optimalstrategiesagainstgenerativeattacks_tpu.parallel.mesh import (
+        adjust_batch_size,
+    )
+    from optimalstrategiesagainstgenerativeattacks_tpu.train.checkpoints import CheckpointIO
+    from optimalstrategiesagainstgenerativeattacks_tpu.train.logger import Logger
+    from optimalstrategiesagainstgenerativeattacks_tpu.train.state import num_parameters
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    au = au if au is not None else imodels.get_au(
+        img_size=cfg.img_size, img_channels=cfg.img_channels, style_dim=cfg.style_dim,
+        dtype=dtype,
+    )
+    im = im if im is not None else imodels.get_im(
+        img_size=cfg.img_size, img_channels=cfg.img_channels, style_dim=cfg.style_dim,
+        use_img_att=cfg.use_img_att, num_env_noise_layers=cfg.num_env_noise_layers,
+        dtype=dtype,
+    )
+    logger = logger or Logger(
+        log_dir=os.path.join(cfg.outdir, "logs"),
+        img_dir=os.path.join(cfg.outdir, "imgs"),
+        tensorboard_dir=os.path.join(cfg.outdir, "tb"),
+    )
+    checkpoint_io = checkpoint_io or CheckpointIO(os.path.join(cfg.outdir, "ckpts"))
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    state, opt_au, opt_im, scheds = create_state(cfg, au, im, rng)
+    au_sched, im_sched, noise_sched = scheds
+    print(f"Authenticator has {num_parameters(state.params_au)} parameters")
+    print(f"impersonator has {num_parameters(state.params_im)} parameters")
+
+    if cfg.pretrained:
+        loaded, _, _ = checkpoint_io.load(cfg.pretrained, state)
+        state = state.replace(
+            params_au=loaded.params_au, params_im=loaded.params_im,
+            spectral_au=loaded.spectral_au, spectral_im=loaded.spectral_im,
+        )
+    last_epoch = 0
+    if cfg.resume_from_ckpt:
+        state, gstep, last_epoch = checkpoint_io.load(cfg.resume_from_ckpt, state)
+        print(f"Resuming training from iteration {gstep}")
+
+    train_step = make_train_step(cfg, au, im, opt_au, opt_im, mesh)
+    eval_step = make_eval_step(cfg, au, im, mesh)
+    sample_fn = make_sample_fn(cfg, im)
+    diag_fn = make_diag_fn(cfg, au, mesh)
+
+    n_devices = mesh.devices.size if mesh is not None else 1
+    train_bs = adjust_batch_size(len(train_ds), cfg.batch_size, n_devices)
+    val_bs = adjust_batch_size(len(val_ds), cfg.batch_size, n_devices)
+    train_eval_indices = list(range(0, len(train_ds), max(1, len(train_ds) // 10)))
+    val_eval_indices = list(range(0, len(val_ds), max(1, len(val_ds) // 10)))
+
+    loader = EpisodicBatchLoader(
+        train_ds, batch_size=train_bs, shuffle=True, drop_last=True,
+        num_workers=cfg.num_workers, seed=cfg.seed,
+    )
+
+    sample_rng = jax.random.PRNGKey(cfg.seed + 17)
+    buffers: Dict[str, list] = {k: [] for k in METRIC_KEYS}
+
+    def flush_log(gs: int):
+        host = {k: [float(x) for x in jax.device_get(v)] for k, v in buffers.items()}
+        n_au = len(host["au_loss"])
+        if n_au == 0:
+            return
+        logger.add_scalar("lr", "au", float(au_sched(gs)), gs)
+        logger.add_scalar("lr", "im", float(im_sched(gs)), gs)
+        logger.add_scalar("lr", "im_lm", float(noise_sched(gs)), gs)
+        mean = lambda k: float(np.mean(host[k]))
+        logger.add_scalar("train_losses", "dis_loss", mean("au_loss"), gs)
+        logger.add_scalar("train_losses", "dis_loss_on_real", mean("au_loss_on_real"), gs)
+        logger.add_scalar("train_losses", "dis_loss_on_fake", mean("au_loss_on_fake"), gs)
+        logger.add_scalar("train_losses", "dis_reg", mean("au_reg"), gs)
+        logger.add_scalar("train_au_out", "au_out_on_real", mean("au_out_on_real"), gs)
+        logger.add_scalar("train_au_out", "au_out_on_fake", mean("au_out_on_fake"), gs)
+        logger.add_scalar("train_accuracy", "dis_acc", mean("au_acc"), gs)
+        logger.add_scalar("train_accuracy", "dis_acc_on_real", mean("au_acc_on_real"), gs)
+        logger.add_scalar("train_accuracy", "dis_acc_on_fake", mean("au_acc_on_fake"), gs)
+        # gen loss: only over steps where the impersonator actually trained
+        im_losses = [l for l, t in zip(host["im_loss"], host["im_trained"]) if t > 0]
+        if im_losses:
+            logger.add_scalar("train losses", "gen loss", float(np.mean(im_losses)), gs)
+        for k in buffers:
+            buffers[k] = []
+
+    epoch_iter = range(last_epoch, cfg.n_epochs)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            epoch_iter = tqdm(epoch_iter, desc="Epochs")
+        except ImportError:
+            pass
+
+    try:
+        for ep in epoch_iter:
+            loader.set_epoch(ep)
+            num_iters = 50 if cfg.dbg else len(loader)
+            batch_iter = device_prefetch(iter(loader), mesh, depth=cfg.prefetch_depth)
+            for batch_idx, batch in enumerate(batch_iter):
+                if batch_idx >= num_iters:
+                    break
+                state, metrics, fake = train_step(state, batch)
+                for k in METRIC_KEYS:
+                    buffers[k].append(metrics[k])
+                gs = int(state.step)
+
+                if gs % cfg.log_every == 0:
+                    flush_log(gs)
+                if gs % cfg.log_enc_every == 0:
+                    d = jax.device_get(diag_fn(state, batch, fake))
+                    logger.add_scalar("train-au_src_mean", "abs[real-si]", float(d["au_src_mean_abs_real_minus_si"]), gs)
+                    logger.add_scalar("train-au_src_mean", "abs[fake-si]", float(d["au_src_mean_abs_fake_minus_si"]), gs)
+                    logger.add_scalar("train-au_env_mean", "abs[real-si]", float(d["au_env_mean_abs_real_minus_si"]), gs)
+                    logger.add_scalar("train-au_env_mean", "abs[fake-si]", float(d["au_env_mean_abs_fake_minus_si"]), gs)
+                    logger.add_scalar("train-au_src_std", "real", float(d["au_src_std_real"]), gs)
+                    logger.add_scalar("train-au_src_std", "si", float(d["au_src_std_si"]), gs)
+                    logger.add_scalar("train-au_src_std", "fake", float(d["au_src_std_fake"]), gs)
+                    logger.add_scalar("train-au_env_std", "real", float(d["au_env_std_real"]), gs)
+                    logger.add_scalar("train-au_env_std", "si", float(d["au_env_std_si"]), gs)
+                    logger.add_scalar("train-au_env_std", "fake", float(d["au_env_std_fake"]), gs)
+                if gs % cfg.save_every == 0:
+                    checkpoint_io.save(state, gs, last_epoch=ep)
+                if gs % cfg.save_imgs_every == 0:
+                    sample_and_save_imgs(logger, sample_fn, state, train_ds, "train",
+                                         train_eval_indices, sample_rng, cfg.dbg)
+                    sample_and_save_imgs(logger, sample_fn, state, val_ds, "val",
+                                         val_eval_indices, sample_rng, cfg.dbg)
+                if gs % cfg.eval_every == 0:
+                    run_eval(eval_step, state, val_ds, logger, val_bs,
+                             jax.random.fold_in(sample_rng, gs))
+    except KeyboardInterrupt:
+        print("\nKeyboardInterrupt\nSaving checkpoint...\n")
+        checkpoint_io.save(state, int(state.step), last_epoch=0)
+        return state
+    checkpoint_io.save(state, int(state.step), last_epoch=0)
+    return state

@@ -22,7 +22,7 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-bound on CPU, so cache
 # compiled executables across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/osga_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/osga_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 

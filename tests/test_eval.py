@@ -1,0 +1,171 @@
+"""Authentication-eval tests: agents, scorer, and the end-to-end task with
+a trained-for-a-moment GIM checkpoint on a synthetic dataset."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from optimalstrategiesagainstgenerativeattacks_tpu.eval.agents import (
+    Authenticator,
+    Impersonator,
+    rand_source_impersonator,
+    replay_impersonator,
+)
+from optimalstrategiesagainstgenerativeattacks_tpu.eval.scorer import (
+    comp_acc,
+    eval_authenticator_and_impersonator,
+)
+
+
+class _ArrayDS:
+    """Minimal episodic dataset over in-memory uint8 arrays."""
+
+    def __init__(self, n_classes=4, examples=2, m=1, n=2, k=2, img=16, c=1):
+        self.root = "<memory>"
+        self.n_classes = n_classes
+        self.example_cnt_per_class = examples
+        self.m, self.n, self.k = m, n, k
+        self.img, self.c = img, c
+        self._rng = np.random.default_rng(0)
+
+    def __len__(self):
+        return self.n_classes * self.example_cnt_per_class
+
+    def __getitem__(self, idx):
+        return self.sample_episode(idx)
+
+    def sample_episode(self, idx, rng=None):
+        rng = rng or self._rng
+        cls = idx // self.example_cnt_per_class
+        base = 40 * cls
+
+        def draw(s):
+            return (base + rng.integers(0, 40, (s, self.img, self.img, self.c))).astype(
+                np.uint8
+            )
+
+        return {
+            "real_sample": draw(self.n),
+            "leaked_sample": draw(self.m),
+            "si_sample": draw(self.k),
+            "class": np.int32(cls),
+            "class_name": str(cls),
+        }
+
+
+def test_comp_acc():
+    acc, acc_on_fake, acc_on_real = comp_acc(
+        np.array([1, 1, 0, 1]), np.array([0, 0, 1, 0])
+    )
+    assert acc_on_real == 0.75 and acc_on_fake == 0.75 and acc == 0.75
+
+
+def test_replay_impersonator():
+    leaked = np.arange(2 * 3 * 4).reshape(2, 3, 2, 2, 1).astype(np.float32)
+    fake = replay_impersonator(leaked, n=5, rng=np.random.default_rng(0))
+    assert fake.shape == (2, 5, 2, 2, 1)
+    # every fake image is one of the leaked ones
+    for b in range(2):
+        for i in range(5):
+            assert any(np.array_equal(fake[b, i], leaked[b, j]) for j in range(3))
+
+
+def test_rand_source_impersonator():
+    ds = _ArrayDS()
+    leaked = np.zeros((3, 1, 16, 16, 1), np.float32)
+    fake = rand_source_impersonator(leaked, n=2, gim_ds=ds, rng=np.random.default_rng(0))
+    assert fake.shape == (3, 2, 16, 16, 1)
+    assert fake.min() >= -1.0 and fake.max() <= 1.0
+
+
+def test_scorer_with_oracle_authenticator():
+    """An oracle scoring by brightness distance separates real from replay-of-
+    noise perfectly -> acc 1.0, auc 1.0."""
+    ds = _ArrayDS(n_classes=4, examples=2)
+
+    def oracle(test_sample, si_sample):
+        # same class => same brightness band => small |mean diff|
+        d = np.abs(test_sample.mean(axis=(1, 2, 3, 4)) - si_sample.mean(axis=(1, 2, 3, 4)))
+        return 0.1 - d
+
+    au = Authenticator(oracle, th=0.0)
+
+    def random_other(leaked_sample, n):
+        return np.ones((leaked_sample.shape[0], n, 16, 16, 1), np.float32)  # bright
+
+    im = Impersonator(random_other)
+    acc, acc_on_fake, acc_on_real, auc = eval_authenticator_and_impersonator(
+        ds=ds, batch_size=4, authenticator=au, impersonator=im
+    )
+    assert acc_on_real > 0.9
+    assert acc_on_fake == 1.0
+    assert auc > 0.95
+
+
+@pytest.mark.slow
+def test_end_to_end_authentication_task(tmp_path):
+    """Train the tiny image game for a few steps, then run the full eval grid
+    (gim/replay/rnd_src) from the checkpoint + args.json and check the CSV."""
+    import pandas as pd
+
+    from optimalstrategiesagainstgenerativeattacks_tpu.data.episodic import (
+        OmniglotGIMDataSet,
+    )
+    from optimalstrategiesagainstgenerativeattacks_tpu.eval.authentication import (
+        CSV_COLS,
+        eval_authentication_task,
+    )
+    from optimalstrategiesagainstgenerativeattacks_tpu.models import image as imodels
+    from optimalstrategiesagainstgenerativeattacks_tpu.train import image as itrain
+    from optimalstrategiesagainstgenerativeattacks_tpu.train.checkpoints import CheckpointIO
+    from optimalstrategiesagainstgenerativeattacks_tpu.utils.config import (
+        ImageGameConfig,
+        save_args,
+    )
+    from PIL import Image
+
+    # tiny omniglot-layout dataset on disk
+    root = tmp_path / "ds"
+    rng = np.random.default_rng(0)
+    for a in range(2):
+        for c in range(2):
+            d = root / "val" / f"A{a}" / f"c{c}"
+            d.mkdir(parents=True)
+            for i in range(8):
+                arr = rng.integers(0, 255, (16, 16), dtype=np.uint8)
+                Image.fromarray(arr).save(str(d / f"{i:03d}.png"))
+
+    outdir = tmp_path / "exp"
+    cfg = ImageGameConfig(
+        outdir=str(outdir), batch_size=2, m=1, n=2, k=2, img_size=16,
+        img_channels=1, style_dim=32, compute_dtype="float32",
+    )
+    save_args(cfg, str(outdir))
+    au = imodels.get_au(16, 1, 32)
+    im = imodels.get_im(16, 1, 32)
+    state, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
+    step_fn = itrain.make_train_step(cfg, au, im, opt_au, opt_im)
+    batch = {
+        k: rng.integers(0, 255, (2, s, 16, 16, 1), dtype=np.uint8)
+        for k, s in (("real_sample", 2), ("leaked_sample", 1), ("si_sample", 2))
+    }
+    for _ in range(2):
+        state, _, _ = step_fn(state, batch)
+    cio = CheckpointIO(str(outdir / "ckpts"))
+    cio.save(state, int(state.step))
+
+    ds = OmniglotGIMDataSet(str(root), "val", img_channels=1, img_size=16,
+                            m=1, n=2, si=2, example_cnt_per_class=2)
+    csv_path = str(tmp_path / "results.csv")
+    df = eval_authentication_task(
+        ds=ds, m=1, n=2, k=2, batch_size=2, num_workers=0,
+        gim_exp_dir=str(outdir), csv_file_path=csv_path,
+    )
+    assert os.path.exists(csv_path)
+    assert list(df.columns) == list(CSV_COLS)
+    assert set(df["im_type"]) == {"gim", "replay", "rnd_src"}
+    assert df["auc"].between(0, 1).all()
+    loaded = pd.read_csv(csv_path, index_col=0)
+    assert len(loaded) == 3

@@ -50,6 +50,11 @@ def get_args():
 
 def main():
     args = get_args()
+    from optimalstrategiesagainstgenerativeattacks_tpu.utils.runtime import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     save_args(args=args, outdir=args.outdir)
     cfg = GaussianGameConfig.from_dict(vars(args))
 
