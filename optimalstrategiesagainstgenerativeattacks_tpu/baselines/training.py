@@ -1,0 +1,243 @@
+"""Training loops for the baseline authenticators (ArcFace, Siamese).
+
+The reference ships baseline *models* and eval loading only — no training
+scripts (``eval_gim_on_authentication.py:109-128`` loads externally-trained
+checkpoints; SURVEY C8).  This framework adds runnable TPU training for
+both, producing checkpoints the eval CLI can load:
+
+  * ArcFace: classification with the angular-margin head over
+    ``ArcfaceDataSet`` (one class per identity); checkpoint payload
+    ``{"arcface": variables}`` + args.json with num_layers/dropout/
+    img_size/img_channels/emb_dim/th.
+  * Siamese: binary same/different-source classification over pairs drawn
+    from the episodic dataset (positives within an episode, negatives
+    across episodes); payload ``{"model": variables}``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from optimalstrategiesagainstgenerativeattacks_tpu.data.episodic import normalize_uint8
+from optimalstrategiesagainstgenerativeattacks_tpu.train.losses import bce_with_logits
+
+
+########################################################################################################################
+# ArcFace
+########################################################################################################################
+
+
+def make_arcface_train_step(model, optimizer):
+    @jax.jit
+    def train_step(variables, opt_state, batch, rng):
+        imgs = normalize_uint8(batch["image"])
+        labels = batch["label"]
+
+        def loss_fn(params):
+            (emb, logits), muts = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                imgs, labels, True,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+            acc = (logits.argmax(-1) == labels).mean()
+            return loss, (acc, muts["batch_stats"])
+
+        (loss, (acc, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        updates, new_opt = optimizer.update(grads, opt_state, variables["params"])
+        new_params = optax.apply_updates(variables["params"], updates)
+        return (
+            {"params": new_params, "batch_stats": new_bs},
+            new_opt,
+            {"loss": loss, "acc": acc},
+        )
+
+    return train_step
+
+
+def train_arcface(cfg: Dict[str, Any], ds, progress: bool = True):
+    """cfg keys: outdir, num_layers, dropout, img_size, img_channels, emb_dim,
+    th, lr, batch_size, n_epochs, save_every, seed."""
+    import orbax.checkpoint as ocp
+
+    from optimalstrategiesagainstgenerativeattacks_tpu.baselines.arcface import (
+        ArcFace,
+        Backbone,
+    )
+    from optimalstrategiesagainstgenerativeattacks_tpu.utils.config import save_args
+
+    os.makedirs(cfg["outdir"], exist_ok=True)
+    save_args(cfg, cfg["outdir"])
+    emb_model = Backbone(
+        num_layers=cfg["num_layers"], drop_ratio=cfg["dropout"], mode="ir_se",
+        img_size=cfg["img_size"], img_channels=cfg["img_channels"],
+        emb_dim=cfg["emb_dim"],
+    )
+    model = ArcFace(
+        emb_model=emb_model, embedding_size=cfg["emb_dim"],
+        n_classes=ds.n_classes, th=cfg["th"],
+    )
+    rng = jax.random.PRNGKey(cfg.get("seed", 1))
+    dummy = jnp.zeros((1, cfg["img_size"], cfg["img_size"], cfg["img_channels"]))
+    variables = jax.jit(
+        lambda k: model.init({"params": k, "dropout": k}, dummy, jnp.zeros((1,), jnp.int32))
+    )(rng)
+    variables = dict(variables)
+
+    optimizer = optax.adam(cfg["lr"])
+    opt_state = optimizer.init(variables["params"])
+    train_step = make_arcface_train_step(model, optimizer)
+
+    ckptr = ocp.PyTreeCheckpointer()
+    n = len(ds)
+    bs = cfg["batch_size"]
+    order_rng = np.random.default_rng(cfg.get("seed", 1))
+    step = 0
+    epoch_iter = range(cfg["n_epochs"])
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            epoch_iter = tqdm(epoch_iter, desc="ArcFace epochs")
+        except ImportError:
+            pass
+    metrics = {}
+    for ep in epoch_iter:
+        order = order_rng.permutation(n)
+        for start in range(0, n - bs + 1, bs):
+            idx = order[start : start + bs]
+            imgs, labels = zip(*(ds[int(i)] for i in idx))
+            batch = {
+                "image": np.stack(imgs), "label": np.asarray(labels, np.int32),
+            }
+            variables, opt_state, metrics = train_step(
+                variables, opt_state, batch, jax.random.fold_in(rng, step)
+            )
+            step += 1
+            if step % cfg.get("save_every", 1000) == 0:
+                _save_arcface(ckptr, cfg["outdir"], step, variables)
+    _save_arcface(ckptr, cfg["outdir"], step, variables)
+    return variables, metrics
+
+
+def _save_arcface(ckptr, outdir, step, variables):
+    path = os.path.join(outdir, "ckpts", f"model_{step:08d}")
+    ckptr.save(path, {"arcface": jax.device_get(variables)}, force=True)
+
+
+########################################################################################################################
+# Siamese
+########################################################################################################################
+
+
+def make_siamese_train_step(model, optimizer):
+    @jax.jit
+    def train_step(variables, opt_state, x1, x2, targets):
+        x1 = normalize_uint8(x1)
+        x2 = normalize_uint8(x2)
+
+        def loss_fn(params):
+            logits, muts = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x1, x2, True, mutable=["batch_stats"],
+            )
+            per = (
+                jnp.maximum(logits.squeeze(-1), 0)
+                - logits.squeeze(-1) * targets
+                + jnp.log1p(jnp.exp(-jnp.abs(logits.squeeze(-1))))
+            )
+            acc = (((logits.squeeze(-1) >= 0) == (targets > 0.5))).mean()
+            return per.mean(), (acc, muts["batch_stats"])
+
+        (loss, (acc, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        updates, new_opt = optimizer.update(grads, opt_state, variables["params"])
+        new_params = optax.apply_updates(variables["params"], updates)
+        return (
+            {"params": new_params, "batch_stats": new_bs},
+            new_opt,
+            {"loss": loss, "acc": acc},
+        )
+
+    return train_step
+
+
+def _siamese_pairs(batch, rng: np.random.Generator):
+    """Positive pairs within an episode, negatives across episodes."""
+    real = batch["real_sample"]  # [B, n, H, W, C] uint8
+    b, n = real.shape[:2]
+    x1, x2, y = [], [], []
+    for i in range(b):
+        a, c = rng.choice(n, 2, replace=False)
+        x1.append(real[i, a]); x2.append(real[i, c]); y.append(1.0)
+        j = (i + 1 + int(rng.integers(b - 1))) % b
+        x1.append(real[i, a]); x2.append(real[j, int(rng.integers(n))]); y.append(0.0)
+    return np.stack(x1), np.stack(x2), np.asarray(y, np.float32)
+
+
+def train_siamese(cfg: Dict[str, Any], ds, progress: bool = True):
+    """cfg keys: outdir, img_size, img_channels, lr, batch_size, n_epochs,
+    save_every, seed."""
+    import orbax.checkpoint as ocp
+
+    from optimalstrategiesagainstgenerativeattacks_tpu.baselines.siamese import (
+        ProtonetEmbeddingNet,
+        SiameseNet,
+    )
+    from optimalstrategiesagainstgenerativeattacks_tpu.data.episodic import (
+        EpisodicBatchLoader,
+    )
+    from optimalstrategiesagainstgenerativeattacks_tpu.utils.config import save_args
+
+    os.makedirs(cfg["outdir"], exist_ok=True)
+    save_args(cfg, cfg["outdir"])
+    encoder = ProtonetEmbeddingNet(cfg["img_channels"], cfg["img_size"])
+    model = SiameseNet(embedding_net=encoder, embedding_dim=encoder.embedding_dim)
+
+    rng = jax.random.PRNGKey(cfg.get("seed", 1))
+    dummy = jnp.zeros((1, cfg["img_size"], cfg["img_size"], cfg["img_channels"]))
+    variables = dict(jax.jit(lambda k: model.init(k, dummy, dummy))(rng))
+    optimizer = optax.adam(cfg["lr"])
+    opt_state = optimizer.init(variables["params"])
+    train_step = make_siamese_train_step(model, optimizer)
+
+    ckptr = ocp.PyTreeCheckpointer()
+    loader = EpisodicBatchLoader(
+        ds, batch_size=cfg["batch_size"], shuffle=True,
+        num_workers=cfg.get("num_workers", 0), seed=cfg.get("seed", 1),
+    )
+    pair_rng = np.random.default_rng(cfg.get("seed", 1))
+    step = 0
+    epoch_iter = range(cfg["n_epochs"])
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            epoch_iter = tqdm(epoch_iter, desc="Siamese epochs")
+        except ImportError:
+            pass
+    metrics = {}
+    for ep in epoch_iter:
+        loader.set_epoch(ep)
+        for batch in loader:
+            x1, x2, y = _siamese_pairs(batch, pair_rng)
+            variables, opt_state, metrics = train_step(variables, opt_state, x1, x2, y)
+            step += 1
+            if step % cfg.get("save_every", 1000) == 0:
+                _save_siamese(ckptr, cfg["outdir"], step, variables)
+    _save_siamese(ckptr, cfg["outdir"], step, variables)
+    return variables, metrics
+
+
+def _save_siamese(ckptr, outdir, step, variables):
+    path = os.path.join(outdir, "ckpts", f"model_{step:08d}")
+    ckptr.save(path, {"model": jax.device_get(variables)}, force=True)

@@ -293,6 +293,11 @@ class ArcfaceDataSet:
             cls_dir_path = os.path.join(self.data_dir, self._class_dir_names[cls_idx])
             self.class_img_paths[cls_idx] = list_files_rec(cls_dir_path, self.img_suffix)
         paths = self.class_img_paths[cls_idx]
+        if not paths:
+            raise FileNotFoundError(
+                f"class dir {self._class_dir_names[cls_idx]!r} has no "
+                f"'{self.img_suffix}' images under {self.data_dir}"
+            )
         img_idx = int(rng.integers(len(paths)))
         img = load_image(paths[img_idx], self.img_size, self.img_mode, self.mirror, rng)
         return img, cls_idx

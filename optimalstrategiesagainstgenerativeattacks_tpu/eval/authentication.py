@@ -191,6 +191,7 @@ def get_arcface_authenticator(ckpt_path: str, args_dict: dict) -> Authenticator:
         mode="ir_se",
         img_size=args_dict.get("img_size", 32),
         img_channels=args_dict.get("img_channels", 1),
+        emb_dim=args_dict.get("emb_dim", 512),
     )
     arcface = ArcFace(
         emb_model=emb_model, embedding_size=args_dict.get("emb_dim", 512),
