@@ -17,7 +17,25 @@ generator path and is dispatched via ``ada_in(..., use_pallas=...)``.
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
+
+# Pallas dispatch: fused AdaIN kernel on TPU when enabled (see
+# ops/pallas/adain_pallas.py).  Off by default until flipped per-run;
+# OSGA_USE_PALLAS=1 or set_use_pallas(True) enables it.
+_USE_PALLAS = os.environ.get("OSGA_USE_PALLAS", "0") == "1"
+_TPU_BACKENDS = ("tpu", "axon")
+
+
+def set_use_pallas(enabled: bool) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = enabled
+
+
+def use_pallas() -> bool:
+    return _USE_PALLAS and jax.default_backend() in _TPU_BACKENDS
 
 
 def ada_in(
@@ -35,6 +53,17 @@ def ada_in(
     Returns:
       [B, H, W, C] re-normalised feature.
     """
+    if use_pallas():
+        from optimalstrategiesagainstgenerativeattacks_tpu.ops.pallas.adain_pallas import (
+            ada_in_pallas,
+        )
+
+        return ada_in_pallas(
+            feature,
+            mean_style.astype(jnp.float32),
+            std_style.astype(jnp.float32),
+            eps,
+        )
     b, h, w, c = feature.shape
     n = h * w
     f32 = feature.astype(jnp.float32)
