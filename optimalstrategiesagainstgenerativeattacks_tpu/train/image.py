@@ -188,6 +188,130 @@ METRIC_KEYS = (
 )
 
 
+def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
+    """Two-phase variant of the train step: the impersonator update and the
+    authenticator update compile as SEPARATE XLA programs.
+
+    Same math and the same (state, metrics, fake) contract as
+    ``make_train_step``; exists because the monolithic flagship-config
+    program can exceed the TPU compile server's memory.  All intermediate
+    tensors stay on device between the phases.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def im_phase(params_im, spectral_im, opt_im_state, params_au, spectral_au,
+                 rng_in, step, leaked, si):
+        rng, k_noise = jax.random.split(jax.random.fold_in(rng_in, step))
+
+        def im_fwd(p_im, s_im, update_sn):
+            variables = {"params": p_im, "spectral": s_im}
+            kwargs = dict(rngs={"noise": k_noise})
+            if update_sn:
+                fake, muts = im.apply(
+                    variables, leaked, cfg.n, cfg.remove_noise_mean, True,
+                    mutable=["spectral"], **kwargs,
+                )
+                new_spec = muts["spectral"]
+            else:
+                fake = im.apply(
+                    variables, leaked, cfg.n, cfg.remove_noise_mean, False, **kwargs
+                )
+                new_spec = s_im
+            auth_out = _au_forward_pair(au, params_au, spectral_au, fake, si)
+            loss = bce_with_logits(auth_out, 1.0).mean()
+            return loss, (fake, new_spec)
+
+        def train_branch(_):
+            (loss, (fake, new_spec)), grads = jax.value_and_grad(
+                lambda p: im_fwd(p, spectral_im, True), has_aux=True
+            )(params_im)
+            updates, new_opt = opt_im.update(grads, opt_im_state, params_im)
+            return optax.apply_updates(params_im, updates), new_spec, new_opt, loss, fake, jnp.float32(1.0)
+
+        def eval_branch(_):
+            loss, (fake, _) = im_fwd(params_im, spectral_im, False)
+            return params_im, spectral_im, opt_im_state, loss, fake, jnp.float32(0.0)
+
+        if cfg.n_au_steps == 1:
+            out = train_branch(None)
+        else:
+            out = jax.lax.cond(
+                ((step + 1) % cfg.n_au_steps) == 0, train_branch, eval_branch, None
+            )
+        new_params_im, new_spec_im, new_opt_im, im_loss, fake, im_trained = out
+        return new_params_im, new_spec_im, new_opt_im, im_loss, jax.lax.stop_gradient(fake), im_trained, rng
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def au_phase(params_au, spectral_au, opt_au_state, fake, real, si):
+        def au_loss_fn(p_au):
+            out_real, out_fake, new_spec = _au_outputs(
+                au, p_au, spectral_au, real, fake, si, True
+            )
+            loss_on_real = bce_with_logits(out_real, 1.0)
+            loss_on_fake = bce_with_logits(out_fake, 0.0)
+            if cfg.reg_param > 0:
+                def score_real(r, s):
+                    return au.apply({"params": p_au, "spectral": spectral_au}, r, s, False)
+
+                reg = cfg.reg_param * grad2_penalty(score_real, (real, si))
+            else:
+                reg = jnp.zeros_like(loss_on_real)
+            loss = (loss_on_real + loss_on_fake + reg).mean()
+            return loss, (loss_on_real, loss_on_fake, reg, out_real, out_fake, new_spec)
+
+        (au_loss, aux), grads = jax.value_and_grad(au_loss_fn, has_aux=True)(params_au)
+        loss_on_real, loss_on_fake, reg, out_real, out_fake, new_spec_au = aux
+        updates, new_opt = opt_au.update(grads, opt_au_state, params_au)
+        new_params_au = optax.apply_updates(params_au, updates)
+        acc, acc_on_real, acc_on_fake = gan_accuracy(out_real, out_fake)
+        metrics = {
+            "au_loss": au_loss,
+            "au_loss_on_real": loss_on_real.mean(),
+            "au_loss_on_fake": loss_on_fake.mean(),
+            "au_reg": reg.mean(),
+            "au_out_on_real": out_real.mean(),
+            "au_out_on_fake": out_fake.mean(),
+            "au_acc": acc,
+            "au_acc_on_real": acc_on_real,
+            "au_acc_on_fake": acc_on_fake,
+        }
+        return new_params_au, new_spec_au, new_opt, metrics
+
+    @jax.jit
+    def prep(batch):
+        return tuple(
+            constrain_data(normalize_uint8(batch[k]), mesh)
+            for k in ("real_sample", "leaked_sample", "si_sample")
+        )
+
+    def train_step(state: GameState, batch):
+        step = state.step + 1
+        real, leaked, si = prep(batch)
+        (new_params_im, new_spec_im, new_opt_im, im_loss, fake, im_trained, rng) = im_phase(
+            state.params_im, state.spectral_im, state.opt_im,
+            state.params_au, state.spectral_au, state.rng, step, leaked, si,
+        )
+        new_params_au, new_spec_au, new_opt_au, metrics = au_phase(
+            state.params_au, state.spectral_au, state.opt_au, fake, real, si
+        )
+        metrics = dict(metrics)
+        metrics["im_loss"] = im_loss
+        metrics["im_trained"] = im_trained
+        new_state = state.replace(
+            step=step,
+            params_au=new_params_au,
+            params_im=new_params_im,
+            spectral_au=new_spec_au,
+            spectral_im=new_spec_im,
+            opt_au=new_opt_au,
+            opt_im=new_opt_im,
+            rng=rng,
+        )
+        return new_state, metrics, fake
+
+    return train_step
+
+
 def make_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
     """Build the single-step train function (jit with donated state)."""
 
@@ -517,7 +641,11 @@ def train_gim_imgs(
         state, gstep, last_epoch = checkpoint_io.load(cfg.resume_from_ckpt, state)
         print(f"Resuming training from iteration {gstep}")
 
-    train_step = make_train_step(cfg, au, im, opt_au, opt_im, mesh)
+    if cfg.split_step == "always":
+        train_step = make_split_train_step(cfg, au, im, opt_au, opt_im, mesh)
+    else:
+        train_step = make_train_step(cfg, au, im, opt_au, opt_im, mesh)
+    split_fallback_allowed = cfg.split_step == "auto"
     eval_step = make_eval_step(cfg, au, im, mesh)
     sample_fn = make_sample_fn(cfg, im)
     diag_fn = make_diag_fn(cfg, au, mesh)
@@ -578,7 +706,17 @@ def train_gim_imgs(
             for batch_idx, batch in enumerate(batch_iter):
                 if batch_idx >= num_iters:
                     break
-                state, metrics, fake = train_step(state, batch)
+                try:
+                    state, metrics, fake = train_step(state, batch)
+                except jax.errors.JaxRuntimeError as e:
+                    # the monolithic program can exceed the TPU compile
+                    # server's memory; retry with the two-phase split step
+                    if not (split_fallback_allowed and "compile" in str(e).lower()):
+                        raise
+                    print("monolithic step failed to compile; falling back to split step")
+                    train_step = make_split_train_step(cfg, au, im, opt_au, opt_im, mesh)
+                    split_fallback_allowed = False
+                    state, metrics, fake = train_step(state, batch)
                 for k in METRIC_KEYS:
                     buffers[k].append(metrics[k])
                 gs = int(state.step)

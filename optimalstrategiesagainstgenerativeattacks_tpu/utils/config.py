@@ -130,6 +130,9 @@ class ImageGameConfig:
     log_enc_every: int = 500      # tb_log_enc_every
     compute_dtype: str = "bfloat16"
     prefetch_depth: int = 2
+    # 'auto': monolithic jitted step, falling back to the two-phase split
+    # step if the compile server rejects the large program; 'always'/'never'
+    split_step: str = "auto"
 
     @classmethod
     def from_dict(cls, d: dict) -> "ImageGameConfig":
