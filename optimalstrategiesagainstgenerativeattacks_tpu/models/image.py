@@ -84,6 +84,47 @@ class Encoder(nn.Module):
         return x
 
 
+class EncoderPair(nn.Module):
+    """The src/env encoder twins as ONE vmapped module with stacked params.
+
+    Every GIM model owns two architecturally-identical encoders applied to
+    the same images (``gim_img_models.py:431-432, 456-457``).  Vmapping
+    over a stacked parameter axis (a) emits the encoder body once instead
+    of twice (half the HLO -> half the compile cost) and (b) presents XLA
+    with double-width batched convolutions.  Identical math and parameter
+    count to two separate encoders.
+    """
+
+    img_size: int
+    img_channels: int
+    style_dim: int = 512
+    min_n_channels: int = 64
+    use_out_lrelu: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, update_sn: bool = False):
+        """[B', H, W, C] -> (src [B', style], env [B', style])."""
+        VEncoder = nn.vmap(
+            Encoder,
+            variable_axes={"params": 0, "spectral": 0},
+            split_rngs={"params": True},
+            in_axes=None,
+            out_axes=0,
+            axis_size=2,
+        )
+        out = VEncoder(
+            img_size=self.img_size,
+            img_channels=self.img_channels,
+            style_dim=self.style_dim,
+            min_n_channels=self.min_n_channels,
+            use_out_lrelu=self.use_out_lrelu,
+            dtype=self.dtype,
+            name="enc",
+        )(x, update_sn)  # [2, B', style]
+        return out[0], out[1]
+
+
 class EnvDecoder(nn.Module):
     """ResBlockUp stack from [B, style] to an image (``EnvDecoder:63-95``)."""
 
@@ -314,40 +355,52 @@ def _encode_sample(encoder, sample, update_sn):
 
 
 class GIMFaceAuthenticator(nn.Module):
-    """Separate src/env encoders + set discriminator (``GIMFaceAuthenticator:304-340``)."""
+    """Vmapped src/env encoder pair + set discriminator
+    (``GIMFaceAuthenticator:304-340``)."""
 
-    src_encoder: nn.Module
-    env_encoder: nn.Module
+    encoders: nn.Module  # EncoderPair
     dis: nn.Module
 
     def __call__(self, test_sample, si_sample, update_sn: bool = False):
-        test_src = self.src_encode_sample(test_sample, update_sn)
-        si_src = self.src_encode_sample(si_sample, update_sn)
-        test_env = self.env_encode_sample(test_sample, update_sn)
-        si_env = self.env_encode_sample(si_sample, update_sn)
+        b, n = test_sample.shape[0], test_sample.shape[1]
+        k = si_sample.shape[1]
+        img_shape = test_sample.shape[2:]
+        flat = jnp.concatenate(
+            [
+                test_sample.reshape(b * n, *img_shape),
+                si_sample.reshape(b * k, *img_shape),
+            ],
+            axis=0,
+        )
+        src, env = self.encoders(flat, update_sn)
+        test_src = src[: b * n].reshape(b, n, -1)
+        si_src = src[b * n :].reshape(b, k, -1)
+        test_env = env[: b * n].reshape(b, n, -1)
+        si_env = env[b * n :].reshape(b, k, -1)
         return self.dis(
             test_src=test_src, test_env=test_env, si_src=si_src, si_env=si_env
         )
 
     def src_encode_sample(self, sample, update_sn: bool = False):
-        return _encode_sample(self.src_encoder, sample, update_sn)
+        b, s = sample.shape[0], sample.shape[1]
+        src, _ = self.encoders(sample.reshape(b * s, *sample.shape[2:]), update_sn)
+        return src.reshape(b, s, -1)
 
     def env_encode_sample(self, sample, update_sn: bool = False):
-        return _encode_sample(self.env_encoder, sample, update_sn)
+        b, s = sample.shape[0], sample.shape[1]
+        _, env = self.encoders(sample.reshape(b * s, *sample.shape[2:]), update_sn)
+        return env.reshape(b, s, -1)
 
     def encode_flat(self, flat_imgs, update_sn: bool = False):
         """One fused pass of BOTH encoders over a flattened image batch.
 
         TPU-first: the training step concatenates si/real/fake into a single
-        [sum(B*S), H, W, C] batch so each encoder traces once per step with a
-        large batch (one SN power-iteration per step, MXU-friendly batch
-        sizes) instead of the reference's six small passes
-        (``gim_img_trainer.py:104-111``).
+        [sum(B*S), H, W, C] batch so the (vmapped) encoder pair traces once
+        per step with a large batch (one SN power-iteration per step,
+        MXU-friendly batch sizes) instead of the reference's six small
+        passes (``gim_img_trainer.py:104-111``).
         """
-        return (
-            self.src_encoder(flat_imgs, update_sn),
-            self.env_encoder(flat_imgs, update_sn),
-        )
+        return self.encoders(flat_imgs, update_sn)
 
     def discriminate(self, test_src, test_env, si_src, si_env):
         return self.dis(
@@ -369,8 +422,7 @@ class GIMFaceImpersonator(nn.Module):
     it receives no gradient; behaviourally identical).
     """
 
-    src_encoder: nn.Module
-    env_encoder: nn.Module
+    encoders: nn.Module  # EncoderPair
     env_decoder: nn.Module
     img2img: nn.Module
     env_noise_mapper: nn.Module
@@ -391,8 +443,11 @@ class GIMFaceImpersonator(nn.Module):
             leaked_sample[:, 0:1], (batch_size, n, h, w_, c)
         )
 
-        src = _encode_sample(self.src_encoder, leaked_sample, update_sn).mean(axis=1)
-        env = _encode_sample(self.env_encoder, leaked_sample, update_sn).mean(axis=1)
+        src_e, env_e = self.encoders(
+            leaked_sample.reshape(batch_size * m, h, w_, c), update_sn
+        )
+        src = src_e.reshape(batch_size, m, -1).mean(axis=1)
+        env = env_e.reshape(batch_size, m, -1).mean(axis=1)
 
         if z is None:
             z = jax.random.normal(
@@ -442,10 +497,7 @@ def get_im(
     dtype: Optional[Dtype] = None,
 ) -> GIMFaceImpersonator:
     """Factory matching ``gim_img_models.get_im:429-449``."""
-    src_encoder = Encoder(
-        img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype
-    )
-    env_encoder = Encoder(
+    encoders = EncoderPair(
         img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype
     )
     decoder = EnvDecoder(
@@ -462,8 +514,7 @@ def get_im(
         [style_dim for _ in range(num_env_noise_layers + 1)], dtype=dtype
     )
     return GIMFaceImpersonator(
-        src_encoder=src_encoder,
-        env_encoder=env_encoder,
+        encoders=encoders,
         env_decoder=decoder,
         img2img=img2img,
         env_noise_mapper=env_noise_mapper,
@@ -485,12 +536,7 @@ def get_au(
         dtype=dtype,
     )
     dis = GIMFaceDis(src_dim=style_dim, env_dim=style_dim, stat=stat, dtype=dtype)
-    src_encoder = Encoder(
+    encoders = EncoderPair(
         img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype
     )
-    env_encoder = Encoder(
-        img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype
-    )
-    return GIMFaceAuthenticator(
-        src_encoder=src_encoder, env_encoder=env_encoder, dis=dis
-    )
+    return GIMFaceAuthenticator(encoders=encoders, dis=dis)
