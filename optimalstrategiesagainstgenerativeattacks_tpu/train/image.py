@@ -664,6 +664,24 @@ def train_gim_imgs(
     sample_rng = jax.random.PRNGKey(cfg.seed + 17)
     buffers: Dict[str, list] = {k: [] for k in METRIC_KEYS}
 
+    # throughput as a first-class metric (the reference only has tqdm bars;
+    # BASELINE.md's north star is train steps/sec/chip)
+    import time as _time
+
+    perf = {"t_last": None, "steps": 0}
+
+    def log_throughput(gs: int):
+        now = _time.perf_counter()
+        if perf["t_last"] is not None and perf["steps"] > 0:
+            sps = perf["steps"] / (now - perf["t_last"])
+            logger.add_scalar("perf", "train_steps_per_sec", sps, gs)
+            logger.add_scalar(
+                "perf", "train_images_per_sec",
+                sps * cfg.batch_size * (cfg.m + cfg.n + cfg.k), gs,
+            )
+        perf["t_last"] = now
+        perf["steps"] = 0
+
     def flush_log(gs: int):
         host = {k: [float(x) for x in jax.device_get(v)] for k, v in buffers.items()}
         n_au = len(host["au_loss"])
@@ -719,10 +737,19 @@ def train_gim_imgs(
                     state, metrics, fake = train_step(state, batch)
                 for k in METRIC_KEYS:
                     buffers[k].append(metrics[k])
+                perf["steps"] += 1
                 gs = int(state.step)
+
+                if cfg.profile_dir is not None:
+                    if gs == cfg.profile_start:
+                        jax.profiler.start_trace(cfg.profile_dir)
+                    elif gs == cfg.profile_start + 5:
+                        jax.block_until_ready(metrics)
+                        jax.profiler.stop_trace()
 
                 if gs % cfg.log_every == 0:
                     flush_log(gs)
+                    log_throughput(gs)
                 if gs % cfg.log_enc_every == 0:
                     d = jax.device_get(diag_fn(state, batch, fake))
                     logger.add_scalar("train-au_src_mean", "abs[real-si]", float(d["au_src_mean_abs_real_minus_si"]), gs)

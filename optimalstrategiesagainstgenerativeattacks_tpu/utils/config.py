@@ -133,6 +133,10 @@ class ImageGameConfig:
     # 'auto': monolithic jitted step, falling back to the two-phase split
     # step if the compile server rejects the large program; 'always'/'never'
     split_step: str = "auto"
+    # write a jax.profiler trace of steps [profile_start, profile_start+5)
+    # under this dir (tensorboard-profile viewable); None disables
+    profile_dir: Optional[str] = None
+    profile_start: int = 10
 
     @classmethod
     def from_dict(cls, d: dict) -> "ImageGameConfig":
