@@ -72,6 +72,42 @@ def normalize_uint8(x):
     return x.astype(jnp.float32) / 127.5 - 1.0
 
 
+def adjust_dynamic_range(data, drange_in, drange_out=(-1, 1)):
+    """Affine range shift (``img_datasets.adjust_dynamic_range:276-281``)."""
+    if tuple(drange_in) != tuple(drange_out):
+        scale = (np.float32(drange_out[1]) - np.float32(drange_out[0])) / (
+            np.float32(drange_in[1]) - np.float32(drange_in[0])
+        )
+        bias = np.float32(drange_out[0]) - np.float32(drange_in[0]) * scale
+        data = data * scale + bias
+    return data
+
+
+def load_image_float(img_path, img_size, drange_net=(-1, 1), img_mode="RGB",
+                     mirror=False, rng=None):
+    """Decode to float HWC in ``drange_net`` (the reference ``load_image``
+    semantics; training feeds uint8 instead and shifts on device)."""
+    arr = load_image(img_path, img_size, img_mode, mirror, rng).astype(np.float32)
+    return adjust_dynamic_range(arr / 255.0, (0.0, 1.0), drange_net)
+
+
+def load_bw_image(img_path, img_size, drange_net=(-1, 1), mirror=False, rng=None):
+    """Grayscale variant (``process_pil_image_bw:306-315``)."""
+    return load_image_float(img_path, img_size, drange_net, "L", mirror, rng)
+
+
+def load_glow_image(img_path, img_size, drange_net=(-1, 1), img_mode="RGB"):
+    """Glow-style 1/256 quantisation variant (``load_glow_image:290-333``)."""
+    from PIL import Image
+
+    img = Image.open(img_path, mode="r").convert(img_mode)
+    img = img.resize((img_size, img_size), resample=Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return adjust_dynamic_range(arr / 256.0, (0.0, 1.0), drange_net)
+
+
 class ImgGIMDataSet:
     """Directory-tree episodic dataset (``ImgGIMDataSet:24-115``)."""
 

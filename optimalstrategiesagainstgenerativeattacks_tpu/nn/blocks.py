@@ -213,6 +213,20 @@ class InstanceNorm(nn.Module):
         return instance_norm(x, scale, bias, self.eps)
 
 
+class Flatten(nn.Module):
+    """[B, ...] -> [B, -1] (``Flatten:54-63``)."""
+
+    def __call__(self, x):
+        return x.reshape(x.shape[0], -1)
+
+
+class Identity(nn.Module):
+    """Pass-through (``Identity:66-74``)."""
+
+    def __call__(self, x):
+        return x
+
+
 ########################################################################################################################
 # MLPs (model_blocks.py:77-171)
 ########################################################################################################################
