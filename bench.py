@@ -59,8 +59,12 @@ def main():
     au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
     im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
     state, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
-    step_fn = itrain.make_train_step(cfg, au, im, opt_au, opt_im)
-    split_fallback = True
+    # the two-phase split step: numerically identical to the monolithic one,
+    # but each phase is a half-size XLA program — the monolithic flagship
+    # program can exceed the remote TPU compile server's memory (SIGKILL)
+    # and takes ~45 min to compile when it survives
+    step_fn = itrain.make_split_train_step(cfg, au, im, opt_au, opt_im)
+    split_fallback = False
 
     rng = np.random.default_rng(0)
 
@@ -79,18 +83,8 @@ def main():
 
     batches = [make_batch(i) for i in range(4)]
 
-    # warmup / compile (falling back to the two-phase split step if the
-    # compile server rejects the monolithic program)
-    try:
-        state, metrics, _ = step_fn(state, batches[0])
-        jax.block_until_ready(metrics)
-    except jax.errors.JaxRuntimeError as e:
-        if not (split_fallback and "compile" in str(e).lower()):
-            raise
-        step_fn = itrain.make_split_train_step(cfg, au, im, opt_au, opt_im)
-        state, metrics, _ = step_fn(state, batches[0])
-        jax.block_until_ready(metrics)
-    for i in range(1, 3):
+    # warmup / compile (persistent-cached across runs)
+    for i in range(3):
         state, metrics, _ = step_fn(state, batches[i % len(batches)])
     jax.block_until_ready(metrics)
 
