@@ -641,11 +641,17 @@ def train_gim_imgs(
         state, gstep, last_epoch = checkpoint_io.load(cfg.resume_from_ckpt, state)
         print(f"Resuming training from iteration {gstep}")
 
-    if cfg.split_step == "always":
+    # 'auto' goes straight to the split step for large configs: the
+    # monolithic flagship program (style 512) is SIGKILLed by the remote
+    # TPU compile server even after the scan/vmap HLO reductions
+    use_split = cfg.split_step == "always" or (
+        cfg.split_step == "auto" and cfg.style_dim >= 256
+    )
+    if use_split:
         train_step = make_split_train_step(cfg, au, im, opt_au, opt_im, mesh)
     else:
         train_step = make_train_step(cfg, au, im, opt_au, opt_im, mesh)
-    split_fallback_allowed = cfg.split_step == "auto"
+    split_fallback_allowed = cfg.split_step == "auto" and not use_split
     eval_step = make_eval_step(cfg, au, im, mesh)
     sample_fn = make_sample_fn(cfg, im)
     diag_fn = make_diag_fn(cfg, au, mesh)
