@@ -88,14 +88,17 @@ def main():
         state, metrics, _ = step_fn(state, batches[i % len(batches)])
     jax.block_until_ready(metrics)
 
+    # median of per-step blocked timings: robust against host-CPU
+    # contention inflating async dispatch latency
     n_steps = 30
-    t0 = time.perf_counter()
+    times = []
     for i in range(n_steps):
+        t0 = time.perf_counter()
         state, metrics, _ = step_fn(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
-
-    steps_per_sec = n_steps / dt
+        jax.block_until_ready(metrics)
+        times.append(time.perf_counter() - t0)
+    median = sorted(times)[n_steps // 2]
+    steps_per_sec = 1.0 / median
     baseline = load_baseline()
     print(
         json.dumps(
