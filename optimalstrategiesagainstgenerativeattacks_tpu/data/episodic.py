@@ -261,6 +261,30 @@ class OmniglotGIMDataSet:
             self.data.append(np.stack(imgs, axis=0))
         self.n_classes = len(self._characters)
         self._class_dir_names = self._characters
+        # vectorised fast path: when every class has the same image count,
+        # stack the whole cache into one array and assemble batches with a
+        # single fancy-indexed gather (no per-episode python loop)
+        counts = {d.shape[0] for d in self.data}
+        self._stacked = np.stack(self.data, axis=0) if len(counts) == 1 else None
+
+    def sample_batch(self, indices, seed: int) -> Dict[str, np.ndarray]:
+        """Assemble a whole batch in one vectorised gather (loader fast path)."""
+        if self._stacked is None:
+            raise NotImplementedError("classes have unequal image counts")
+        rng = np.random.default_rng(seed)
+        cls = np.asarray(indices) // self.example_cnt_per_class
+        b = cls.shape[0]
+        t = self._stacked.shape[1]
+        take = self.m + self.n + self.si
+        # B independent disjoint samples: argsort of uniform noise
+        order = np.argsort(rng.random((b, t)), axis=1)[:, :take]
+        gathered = self._stacked[cls[:, None], order]  # [B, take, H, W, 1]
+        return {
+            "leaked_sample": gathered[:, : self.m],
+            "real_sample": gathered[:, self.m : self.m + self.n],
+            "si_sample": gathered[:, self.m + self.n :],
+            "class": cls.astype(np.int32),
+        }
 
     def __len__(self) -> int:
         return self.n_classes * self.example_cnt_per_class
@@ -373,6 +397,12 @@ class EpisodicBatchLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _assemble(self, indices: Sequence[int], rng_seeds: Sequence[int]):
+        # vectorised fast path (RAM-cached datasets): one gather per batch
+        if hasattr(self.ds, "sample_batch"):
+            try:
+                return self.ds.sample_batch(indices, int(rng_seeds[0]) & (2**63 - 1))
+            except NotImplementedError:
+                pass
         episodes = None
         if self.num_workers > 0:
             with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
