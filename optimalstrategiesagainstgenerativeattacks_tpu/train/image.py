@@ -66,15 +66,26 @@ def make_optimizers(cfg: ImageGameConfig):
     im_sched = make_lr_schedule(cfg.im_lr, cfg.milestones, cfg.lr_gamma)
     noise_sched = make_lr_schedule(cfg.env_noise_mapping_lr, cfg.milestones, cfg.lr_gamma)
 
-    opt_au = optax.adam(au_sched, b1=cfg.beta1, b2=cfg.beta2)
+    def adam(sched, lr_value):
+        # constant LRs are hyperparameter-injected (live in the optimizer
+        # STATE, not the HLO), so experiments that differ only in LR reuse
+        # the same compiled program — load-bearing with the slow remote
+        # compile server. Milestone schedules stay baked in.
+        if not cfg.milestones:
+            return optax.inject_hyperparams(optax.adam)(
+                learning_rate=lr_value, b1=cfg.beta1, b2=cfg.beta2
+            )
+        return optax.adam(sched, b1=cfg.beta1, b2=cfg.beta2)
+
+    opt_au = adam(au_sched, cfg.au_lr)
 
     def im_labels(params):
         return {k: ("noise" if k == "env_noise_mapper" else "main") for k in params}
 
     opt_im = optax.multi_transform(
         {
-            "main": optax.adam(im_sched, b1=cfg.beta1, b2=cfg.beta2),
-            "noise": optax.adam(noise_sched, b1=cfg.beta1, b2=cfg.beta2),
+            "main": adam(im_sched, cfg.im_lr),
+            "noise": adam(noise_sched, cfg.env_noise_mapping_lr),
         },
         im_labels,
     )
