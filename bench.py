@@ -51,20 +51,23 @@ def main():
     from optimalstrategiesagainstgenerativeattacks_tpu.train import image as itrain
     from optimalstrategiesagainstgenerativeattacks_tpu.utils.config import ImageGameConfig
 
-    cfg = ImageGameConfig(
-        batch_size=128, m=1, n=5, k=5, img_size=32, img_channels=1,
-        style_dim=512, compute_dtype="bfloat16",
-    )
-    dtype = jnp.bfloat16
-    au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
-    im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
-    state, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
-    # the two-phase split step: numerically identical to the monolithic one,
-    # but each phase is a half-size XLA program — the monolithic flagship
-    # program can exceed the remote TPU compile server's memory (SIGKILL)
-    # and takes ~45 min to compile when it survives
-    step_fn = itrain.make_split_train_step(cfg, au, im, opt_au, opt_im)
-    split_fallback = False
+    def build(inject_lr: bool):
+        cfg = ImageGameConfig(
+            batch_size=128, m=1, n=5, k=5, img_size=32, img_channels=1,
+            style_dim=512, compute_dtype="bfloat16", inject_lr=inject_lr,
+        )
+        dtype = jnp.bfloat16
+        au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
+        im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
+        state, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
+        # the two-phase split step: numerically identical to the monolithic
+        # one, but each phase is a half-size XLA program — the monolithic
+        # flagship program exceeds the remote TPU compile server's memory
+        # (SIGKILL) and takes ~45 min to compile when it survives
+        step_fn = itrain.make_split_train_step(cfg, au, im, opt_au, opt_im)
+        return cfg, state, step_fn
+
+    cfg, state, step_fn = build(inject_lr=True)
 
     rng = np.random.default_rng(0)
 
@@ -83,8 +86,19 @@ def main():
 
     batches = [make_batch(i) for i in range(4)]
 
-    # warmup / compile (persistent-cached across runs)
-    for i in range(3):
+    # warmup / compile (persistent-cached across runs); the remote compile
+    # server is load-sensitive — if it kills the injected-LR variant, fall
+    # back to baked-LR programs (possibly already cached)
+    try:
+        state, metrics, _ = step_fn(state, batches[0])
+        jax.block_until_ready(metrics)
+    except jax.errors.JaxRuntimeError as e:
+        if "compile" not in str(e).lower():
+            raise
+        cfg, state, step_fn = build(inject_lr=False)
+        state, metrics, _ = step_fn(state, batches[0])
+        jax.block_until_ready(metrics)
+    for i in range(1, 3):
         state, metrics, _ = step_fn(state, batches[i % len(batches)])
     jax.block_until_ready(metrics)
 

@@ -71,7 +71,7 @@ def make_optimizers(cfg: ImageGameConfig):
         # STATE, not the HLO), so experiments that differ only in LR reuse
         # the same compiled program — load-bearing with the slow remote
         # compile server. Milestone schedules stay baked in.
-        if not cfg.milestones:
+        if not cfg.milestones and cfg.inject_lr:
             return optax.inject_hyperparams(optax.adam)(
                 learning_rate=lr_value, b1=cfg.beta1, b2=cfg.beta2
             )

@@ -137,6 +137,9 @@ class ImageGameConfig:
     # under this dir (tensorboard-profile viewable); None disables
     profile_dir: Optional[str] = None
     profile_start: int = 10
+    # hyperparameter-inject constant LRs into optimizer state (HLO becomes
+    # LR-agnostic -> compile-cache hits across LR choices)
+    inject_lr: bool = True
 
     @classmethod
     def from_dict(cls, d: dict) -> "ImageGameConfig":
