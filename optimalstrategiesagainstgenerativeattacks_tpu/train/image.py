@@ -733,12 +733,12 @@ def train_gim_imgs(
         except ImportError:
             pass
 
-    try:
-        for ep in epoch_iter:
-            loader.set_epoch(ep)
-            num_iters = 50 if cfg.dbg else len(loader)
-            batch_iter = device_prefetch(iter(loader), mesh, depth=cfg.prefetch_depth)
-            for batch_idx, batch in enumerate(batch_iter):
+    def run_epoch(ep):
+        nonlocal state, train_step, split_fallback_allowed
+        loader.set_epoch(ep)
+        num_iters = 50 if cfg.dbg else len(loader)
+        batch_iter = device_prefetch(iter(loader), mesh, depth=cfg.prefetch_depth)
+        for batch_idx, batch in enumerate(batch_iter):
                 if batch_idx >= num_iters:
                     break
                 try:
@@ -789,6 +789,17 @@ def train_gim_imgs(
                 if gs % cfg.eval_every == 0:
                     run_eval(eval_step, state, val_ds, logger, val_bs,
                              jax.random.fold_in(sample_rng, gs))
+
+    # interrupt/permission handling parity (``train_gim_imgs:432-447``):
+    # KeyboardInterrupt -> save + stop; PermissionError -> save + continue
+    try:
+        for ep in epoch_iter:
+            try:
+                run_epoch(ep)
+            except PermissionError as pe:
+                print(f"\nPermissionError\n{pe}\nSaving checkpoint...\n")
+                checkpoint_io.save(state, int(state.step), last_epoch=ep)
+                continue
     except KeyboardInterrupt:
         print("\nKeyboardInterrupt\nSaving checkpoint...\n")
         checkpoint_io.save(state, int(state.step), last_epoch=0)
