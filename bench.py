@@ -91,28 +91,27 @@ def main():
     # back to baked-LR programs (possibly already cached)
     try:
         state, metrics, _ = step_fn(state, batches[0])
-        jax.block_until_ready(metrics)
+        float(metrics["au_loss"])
     except jax.errors.JaxRuntimeError as e:
         if "compile" not in str(e).lower():
             raise
         cfg, state, step_fn = build(inject_lr=False)
         state, metrics, _ = step_fn(state, batches[0])
-        jax.block_until_ready(metrics)
+        float(metrics["au_loss"])
     for i in range(1, 3):
         state, metrics, _ = step_fn(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics)
+    float(metrics["au_loss"])
 
-    # median of per-step blocked timings: robust against host-CPU
-    # contention inflating async dispatch latency
+    # async chain of steps closed by an actual VALUE FETCH (training runs
+    # the same way: dispatch ahead, sync at the logging cadence).
+    # jax.block_until_ready does NOT wait for execution on the axon
+    # platform (async tunnel), so only fetching a result measures honestly.
     n_steps = 30
-    times = []
+    t0 = time.perf_counter()
     for i in range(n_steps):
-        t0 = time.perf_counter()
         state, metrics, _ = step_fn(state, batches[i % len(batches)])
-        jax.block_until_ready(metrics)
-        times.append(time.perf_counter() - t0)
-    median = sorted(times)[n_steps // 2]
-    steps_per_sec = 1.0 / median
+    float(metrics["au_loss"])
+    steps_per_sec = n_steps / (time.perf_counter() - t0)
     baseline = load_baseline()
     print(
         json.dumps(

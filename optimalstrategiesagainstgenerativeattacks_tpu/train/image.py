@@ -679,7 +679,19 @@ def train_gim_imgs(
     )
 
     sample_rng = jax.random.PRNGKey(cfg.seed + 17)
-    buffers: Dict[str, list] = {k: [] for k in METRIC_KEYS}
+    # Per-step metrics accumulate into a DEVICE-side [log_every, K] buffer
+    # (one small fixed-shape dispatch per step) and are fetched as ONE
+    # transfer at flush time.  Anything else is ruinous on this platform:
+    # per-scalar fetches and many-operand stacks pay a ~0.25 s tunnel cost
+    # per argument (measured: a 100-operand jnp.stack flush took ~27 s).
+    n_keys = len(METRIC_KEYS)
+    log_buf = jnp.zeros((max(cfg.log_every, 1), n_keys), jnp.float32)
+    buf_count = 0
+
+    @jax.jit
+    def record_metrics(buf, idx, metrics):
+        vec = jnp.stack([metrics[k].astype(jnp.float32) for k in METRIC_KEYS])
+        return jax.lax.dynamic_update_slice(buf, vec[None], (idx, 0))
 
     # throughput as a first-class metric (the reference only has tqdm bars;
     # BASELINE.md's north star is train steps/sec/chip)
@@ -700,10 +712,12 @@ def train_gim_imgs(
         perf["steps"] = 0
 
     def flush_log(gs: int):
-        host = {k: [float(x) for x in jax.device_get(v)] for k, v in buffers.items()}
-        n_au = len(host["au_loss"])
-        if n_au == 0:
+        nonlocal buf_count
+        if buf_count == 0:
             return
+        arr = np.asarray(jax.device_get(log_buf))[:buf_count]  # one transfer
+        host = {k: arr[:, i].tolist() for i, k in enumerate(METRIC_KEYS)}
+        buf_count = 0
         logger.add_scalar("lr", "au", float(au_sched(gs)), gs)
         logger.add_scalar("lr", "im", float(im_sched(gs)), gs)
         logger.add_scalar("lr", "im_lm", float(noise_sched(gs)), gs)
@@ -721,8 +735,6 @@ def train_gim_imgs(
         im_losses = [l for l, t in zip(host["im_loss"], host["im_trained"]) if t > 0]
         if im_losses:
             logger.add_scalar("train losses", "gen loss", float(np.mean(im_losses)), gs)
-        for k in buffers:
-            buffers[k] = []
 
     epoch_iter = range(last_epoch, cfg.n_epochs)
     if progress:
@@ -733,8 +745,15 @@ def train_gim_imgs(
         except ImportError:
             pass
 
+    # host-side mirror of state.step: reading the device scalar every
+    # iteration (int(state.step)) costs ~2.6 s/step through the axon
+    # transfer tunnel — a 500x slowdown.  state.step stays authoritative
+    # for checkpoint/resume.
+    host_step = int(state.step)
+
     def run_epoch(ep):
-        nonlocal state, train_step, split_fallback_allowed
+        nonlocal state, train_step, split_fallback_allowed, host_step
+        nonlocal log_buf, buf_count
         loader.set_epoch(ep)
         num_iters = 50 if cfg.dbg else len(loader)
         batch_iter = device_prefetch(iter(loader), mesh, depth=cfg.prefetch_depth)
@@ -752,10 +771,13 @@ def train_gim_imgs(
                     train_step = make_split_train_step(cfg, au, im, opt_au, opt_im, mesh)
                     split_fallback_allowed = False
                     state, metrics, fake = train_step(state, batch)
-                for k in METRIC_KEYS:
-                    buffers[k].append(metrics[k])
+                log_buf = record_metrics(
+                    log_buf, np.int32(buf_count % cfg.log_every), metrics
+                )
+                buf_count = min(buf_count + 1, cfg.log_every)
                 perf["steps"] += 1
-                gs = int(state.step)
+                host_step += 1
+                gs = host_step
 
                 if cfg.profile_dir is not None:
                     if gs == cfg.profile_start:
