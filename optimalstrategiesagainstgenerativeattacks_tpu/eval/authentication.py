@@ -43,15 +43,21 @@ CSV_COLS = (
 
 
 def get_au_function(au, variables) -> Callable:
-    """GIM authenticator score fn (jitted, eval-mode) (:28-48)."""
+    """GIM authenticator score fn (jitted, eval-mode) (:28-48).
+
+    ``variables`` is a jit ARGUMENT, not a closure capture: captured params
+    become HLO constants, and a 350 MB compile request exceeds the remote
+    compile server's body limit (HTTP 413).
+    """
 
     @jax.jit
-    def score(test_sample, si_sample):
+    def score(variables, test_sample, si_sample):
         return au.apply(variables, test_sample, si_sample, False)
 
     def au_model_func(test_sample, si_sample):
         return np.asarray(
-            score(jnp.asarray(test_sample), jnp.asarray(si_sample)), dtype=np.float32
+            score(variables, jnp.asarray(test_sample), jnp.asarray(si_sample)),
+            dtype=np.float32,
         )
 
     return au_model_func
@@ -61,7 +67,7 @@ def get_im_function(im, variables, remove_noise_mean: bool, n: int, seed: int = 
     """GIM impersonator generation fn (jitted, eval-mode, counted RNG) (:75-80)."""
 
     @jax.jit
-    def gen(leaked_sample, key):
+    def gen(variables, leaked_sample, key):
         return im.apply(
             variables, leaked_sample, n, remove_noise_mean, False,
             rngs={"noise": key},
@@ -73,7 +79,7 @@ def get_im_function(im, variables, remove_noise_mean: bool, n: int, seed: int = 
     def im_model_func(leaked_sample, n=n):
         counter[0] += 1
         return np.asarray(
-            gen(jnp.asarray(leaked_sample), jax.random.fold_in(base, counter[0])),
+            gen(variables, jnp.asarray(leaked_sample), jax.random.fold_in(base, counter[0])),
             dtype=np.float32,
         )
 
@@ -84,7 +90,7 @@ def get_siamese_au_function(model, variables) -> Callable:
     """Siamese score fn: mean-pooled embeddings -> |diff| classifier (:51-65)."""
 
     @jax.jit
-    def score(test_sample, si_sample):
+    def score(variables, test_sample, si_sample):
         def embed(sample):
             b, s = sample.shape[:2]
             flat = sample.reshape(b * s, *sample.shape[2:])
@@ -96,7 +102,7 @@ def get_siamese_au_function(model, variables) -> Callable:
         )
 
     def au_model_func(test_sample, si_sample):
-        out = score(jnp.asarray(test_sample), jnp.asarray(si_sample))
+        out = score(variables, jnp.asarray(test_sample), jnp.asarray(si_sample))
         return np.asarray(out, dtype=np.float32).reshape(-1)
 
     return au_model_func
@@ -106,7 +112,7 @@ def get_arcface_au_function(arcface, variables) -> Callable:
     """ArcFace score fn: mean image per sample -> -||emb1-emb2||^2 (:68-76)."""
 
     @jax.jit
-    def score(test_sample, si_sample):
+    def score(variables, test_sample, si_sample):
         x1 = test_sample.mean(axis=1)
         x2 = si_sample.mean(axis=1)
         s, _ = arcface.apply(variables, x1, x2, method=arcface.predict)
@@ -114,7 +120,8 @@ def get_arcface_au_function(arcface, variables) -> Callable:
 
     def au_model_func(test_sample, si_sample):
         return np.asarray(
-            score(jnp.asarray(test_sample), jnp.asarray(si_sample)), dtype=np.float32
+            score(variables, jnp.asarray(test_sample), jnp.asarray(si_sample)),
+            dtype=np.float32,
         )
 
     return au_model_func
