@@ -76,7 +76,7 @@ def game_value_diff_ml_vs_opt_rho_delta(d: int, rho: float, delta: float) -> flo
     )
 
 
-def main(argv=None):
+def get_args(argv=None):
     import argparse
 
     parser = argparse.ArgumentParser(description=__doc__)
@@ -84,7 +84,11 @@ def main(argv=None):
     parser.add_argument("-n", type=int, default=5, help="number of test observations")
     parser.add_argument("-k", type=int, default=10, help="number of registration observations")
     parser.add_argument("-d", type=int, default=100, help="observation dimension")
-    args = parser.parse_args(argv)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
     print(game_value_mnk(m=args.m, n=args.n, k=args.k, d=args.d))
 
 
