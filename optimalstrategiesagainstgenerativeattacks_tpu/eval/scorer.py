@@ -1,15 +1,27 @@
 """Batched authentication-game rollout and scoring.
 
-Parity with ``authentication_eval/authentication_score.py``: per batch,
-score the real sample against the registration sample, generate the fake
-from the leaked sample, score it too; accuracy = 0.5 * (acc_on_real +
-acc_on_fake); AUC via sklearn on the concatenated score vectors.
+Protocol parity with ``authentication_eval/authentication_score.py``
+(score real vs si, generate fake from leaked, score fake vs si; accuracy =
+0.5 * (acc_on_real + acc_on_fake), `comp_acc:31-42`; AUC over the
+concatenated score vectors, `:94-96`) with a TPU-shaped execution plan:
+
+  * **Shape-stable batching.** Every device call sees exactly
+    ``batch_size`` episodes: the final partial batch is padded by
+    wrapping the epoch around, and the padding's scores are dropped on the
+    host.  One XLA program per model per grid — a remainder batch would
+    otherwise trigger a fresh *remote* compile of the flagship
+    authenticator (minutes on this platform).
+  * **uint8 feeding.** Batches cross host->device as uint8 and are
+    shifted to [-1, 1] by a tiny jitted kernel on device (4x less
+    transfer volume than float32 through the axon tunnel); agents then
+    operate on device-resident float arrays.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 
@@ -37,6 +49,56 @@ def comp_acc(pred_on_real: np.ndarray, pred_on_fake: np.ndarray):
     return float(acc), float(acc_on_fake), float(acc_on_real)
 
 
+def _pad_to(arr: np.ndarray, size: int) -> np.ndarray:
+    """Grow axis 0 to ``size`` by cyclic repetition of whole items."""
+    if arr.shape[0] == size:
+        return arr
+    reps = -(-size // arr.shape[0])
+    return np.concatenate([arr] * reps, axis=0)[:size]
+
+
+@dataclass
+class _GameTally:
+    """Per-side (real/fake) score + prediction accumulator."""
+
+    scores: List[np.ndarray] = field(default_factory=list)
+    preds: List[np.ndarray] = field(default_factory=list)
+
+    def add(self, score, pred, n_valid: int):
+        self.scores.append(np.asarray(score).reshape(-1)[:n_valid])
+        self.preds.append(np.asarray(pred).reshape(-1)[:n_valid])
+
+    def cat(self) -> Tuple[np.ndarray, np.ndarray]:
+        return np.concatenate(self.scores), np.concatenate(self.preds)
+
+
+def _device_batches(
+    ds, batch_size: int, num_workers: int, seed: int, max_iters: int
+) -> Iterator[Tuple[Dict, int]]:
+    """Yield (device-resident [-1,1] float batch, n_valid) at a fixed shape."""
+    import jax
+
+    from optimalstrategiesagainstgenerativeattacks_tpu.data.episodic import (
+        EpisodicBatchLoader,
+        normalize_uint8,
+    )
+
+    to_model_space = jax.jit(normalize_uint8)
+    loader = EpisodicBatchLoader(
+        ds, batch_size=batch_size, shuffle=True, drop_last=False,
+        num_workers=num_workers, seed=seed,
+    )
+    for i, raw in enumerate(loader):
+        if i >= max_iters:
+            return
+        n_valid = raw["real_sample"].shape[0]
+        batch = {
+            key: to_model_space(_pad_to(raw[key], batch_size))
+            for key in ("real_sample", "leaked_sample", "si_sample")
+        }
+        yield batch, n_valid
+
+
 def eval_authenticator_and_impersonator(
     ds,
     batch_size: int,
@@ -46,50 +108,23 @@ def eval_authenticator_and_impersonator(
     dbg: bool = False,
     seed: int = 0,
 ):
-    """Full-game rollout over the dataset -> (acc, acc_on_fake, acc_on_real, auc).
-
-    Batches arrive uint8 and are normalised to [-1, 1] before the agents.
-    """
+    """Full-game rollout over the dataset -> (acc, acc_on_fake, acc_on_real, auc)."""
     from sklearn.metrics import roc_auc_score
 
-    from optimalstrategiesagainstgenerativeattacks_tpu.data.episodic import (
-        EpisodicBatchLoader,
-    )
-
-    loader = EpisodicBatchLoader(
-        ds, batch_size=batch_size, shuffle=True, drop_last=False,
-        num_workers=num_workers, seed=seed,
-    )
-    max_iters = 1000 if dbg else len(loader)
-
-    out_on_real_list, out_on_fake_list = [], []
-    pred_on_real_list, pred_on_fake_list = [], []
-    for batch_idx, batch in enumerate(loader):
-        if batch_idx >= max_iters:
-            break
-        real = batch["real_sample"].astype(np.float32) / 127.5 - 1.0
-        leaked = batch["leaked_sample"].astype(np.float32) / 127.5 - 1.0
-        si = batch["si_sample"].astype(np.float32) / 127.5 - 1.0
+    max_iters = 1000 if dbg else len(ds)
+    on_real, on_fake = _GameTally(), _GameTally()
+    for batch, n_valid in _device_batches(ds, batch_size, num_workers, seed, max_iters):
+        real, si = batch["real_sample"], batch["si_sample"]
         n = real.shape[1]
+        on_real.add(*authenticator.act(test_sample=real, si_sample=si), n_valid)
+        fake = impersonator.act(leaked_sample=batch["leaked_sample"], n=n)
+        on_fake.add(*authenticator.act(test_sample=fake, si_sample=si), n_valid)
 
-        out_on_real, pred_on_real = authenticator.act(test_sample=real, si_sample=si)
-        fake = impersonator.act(leaked_sample=leaked, n=n)
-        out_on_fake, pred_on_fake = authenticator.act(test_sample=fake, si_sample=si)
-
-        out_on_real_list.append(np.asarray(out_on_real).reshape(-1))
-        out_on_fake_list.append(np.asarray(out_on_fake).reshape(-1))
-        pred_on_real_list.append(np.asarray(pred_on_real).reshape(-1))
-        pred_on_fake_list.append(np.asarray(pred_on_fake).reshape(-1))
-
-    out_on_real = np.concatenate(out_on_real_list)
-    out_on_fake = np.concatenate(out_on_fake_list)
-    pred_on_real = np.concatenate(pred_on_real_list)
-    pred_on_fake = np.concatenate(pred_on_fake_list)
-
-    acc, acc_on_fake, acc_on_real = comp_acc(pred_on_real, pred_on_fake)
-    y_true = np.concatenate([np.ones_like(out_on_real), np.zeros_like(out_on_fake)])
-    y_score = np.concatenate([out_on_real, out_on_fake])
-    auc = float(roc_auc_score(y_true=y_true, y_score=y_score))
+    score_real, pred_real = on_real.cat()
+    score_fake, pred_fake = on_fake.cat()
+    acc, acc_on_fake, acc_on_real = comp_acc(pred_real, pred_fake)
+    labels = np.concatenate([np.ones_like(score_real), np.zeros_like(score_fake)])
+    auc = float(roc_auc_score(y_true=labels, y_score=np.concatenate([score_real, score_fake])))
     return acc, acc_on_fake, acc_on_real, auc
 
 

@@ -734,7 +734,7 @@ def train_gim_imgs(
         # gen loss: only over steps where the impersonator actually trained
         im_losses = [l for l, t in zip(host["im_loss"], host["im_trained"]) if t > 0]
         if im_losses:
-            logger.add_scalar("train losses", "gen loss", float(np.mean(im_losses)), gs)
+            logger.add_scalar("train_losses", "gen_loss", float(np.mean(im_losses)), gs)
 
     epoch_iter = range(last_epoch, cfg.n_epochs)
     if progress:

@@ -104,6 +104,34 @@ def test_scorer_with_oracle_authenticator():
     assert auc > 0.95
 
 
+def test_scorer_shape_stable_on_remainder_batch():
+    """A dataset size NOT divisible by batch_size must still present every
+    device call at exactly batch_size episodes (the remainder batch is padded
+    by wraparound and its scores dropped) — a new shape would trigger a fresh
+    remote XLA compile of the flagship authenticator apply."""
+    ds = _ArrayDS(n_classes=5, examples=1)  # 5 items, batch 2 -> batches 2,2,1
+    seen_shapes = []
+
+    def oracle(test_sample, si_sample):
+        seen_shapes.append(tuple(np.asarray(test_sample).shape))
+        d = np.abs(
+            np.asarray(test_sample).mean(axis=(1, 2, 3, 4))
+            - np.asarray(si_sample).mean(axis=(1, 2, 3, 4))
+        )
+        return 0.1 - d
+
+    au = Authenticator(oracle, th=0.0)
+    im = Impersonator(lambda leaked_sample, n: np.ones(
+        (np.asarray(leaked_sample).shape[0], n, 16, 16, 1), np.float32))
+    acc, acc_on_fake, acc_on_real, auc = eval_authenticator_and_impersonator(
+        ds=ds, batch_size=2, authenticator=au, impersonator=im
+    )
+    assert len(set(seen_shapes)) == 1 and seen_shapes[0][0] == 2
+    # 5 valid episodes scored on each side despite 6 slots run
+    assert len(seen_shapes) == 6  # 3 batches x (real, fake)
+    assert acc_on_fake == 1.0 and auc > 0.9
+
+
 @pytest.mark.slow
 def test_end_to_end_authentication_task(tmp_path):
     """Train the tiny image game for a few steps, then run the full eval grid

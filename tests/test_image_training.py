@@ -130,18 +130,130 @@ def test_diag_fn(setup):
     assert all(np.isfinite(float(v)) for v in d.values())
 
 
-def test_train_step_on_mesh(setup):
-    cfg, au, im, _, _, _ = setup
-    mesh = create_mesh()
-    assert mesh.devices.size == 8
-    cfg8 = _cfg(batch_size=8)
-    state, opt_au, opt_im, _ = itrain.create_state(cfg8, au, im, jax.random.PRNGKey(5))
-    step_fn = itrain.make_train_step(cfg8, au, im, opt_au, opt_im, mesh)
+def _assert_trees_close(tree_a, tree_b, rtol=1e-4, atol=1e-5, label=""):
+    leaves_a, leaves_b = jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+            rtol=rtol, atol=atol, err_msg=label,
+        )
+
+
+# Metrics NOT downstream of the generator must match tightly; metrics that
+# pass through the generated fake can only match loosely: the env-decoder /
+# img2img instance-norm chains amplify ulp-level float-reassociation
+# differences (sharded and unsharded programs fuse convs differently)
+# chaotically in an untrained net — measured here: 6.5e-5 entering the 3rd
+# up-block becomes O(1) at its output.  The reference's own DataParallel has
+# the identical property (per-replica batch slices pick different cudnn
+# algorithms).  The gather+mean DataParallel contract
+# (``gim_img_training.py:407-411``) is what the tight side verifies.
+_TIGHT_METRICS = ("au_loss_on_real", "au_out_on_real", "au_acc_on_real", "au_reg", "im_trained")
+
+
+def _assert_step_equivalent(state_ref, state_got, metrics_ref, metrics_got):
+    for k in metrics_ref:
+        tight = k in _TIGHT_METRICS
+        np.testing.assert_allclose(
+            float(metrics_ref[k]), float(metrics_got[k]),
+            rtol=1e-5 if tight else 0.1, atol=1e-5 if tight else 0.1,
+            err_msg=f"metric {k}",
+        )
+    _assert_trees_close(state_ref.params_au, state_got.params_au,
+                        rtol=1e-4, atol=1e-5, label="params_au")
+    _assert_trees_close(state_ref.params_im, state_got.params_im,
+                        rtol=1e-3, atol=5e-4, label="params_im")
+    _assert_trees_close(state_ref.spectral_au, state_got.spectral_au,
+                        rtol=1e-5, atol=1e-6, label="spectral_au")
+    _assert_trees_close(state_ref.spectral_im, state_got.spectral_im,
+                        rtol=1e-5, atol=1e-6, label="spectral_im")
+
+
+def test_train_step_dp_mesh_matches_single_device():
+    """8-way data-parallel image step == unsharded step (same rng/batch)."""
     from optimalstrategiesagainstgenerativeattacks_tpu.parallel.mesh import shard_batch
 
-    batch = shard_batch(_batch(cfg8), mesh)
-    new_state, metrics, _ = step_fn(state, batch)
-    assert all(np.isfinite(float(v)) for v in metrics.values())
+    cfg = _cfg(batch_size=8)
+    au, im = _models(cfg)
+    state_a, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(5))
+    state_b, _, _, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(5))
+    batch = _batch(cfg)
+
+    single = itrain.make_train_step(cfg, au, im, opt_au, opt_im)
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    sharded = itrain.make_train_step(cfg, au, im, opt_au, opt_im, mesh)
+
+    s_ref, m_ref, f_ref = single(state_a, batch)
+    s_got, m_got, f_got = sharded(state_b, shard_batch(batch, mesh))
+    _assert_step_equivalent(s_ref, s_got, m_ref, m_got)
+    assert f_got.shape == f_ref.shape
+    assert bool(np.isfinite(np.asarray(jax.device_get(f_got))).all())
+
+
+def test_train_step_tp_mesh_matches_single_device():
+    """dp x tp (4x2) step with tensor-sharded discriminator-head matrices ==
+    unsharded step — the sharding layout must be numerically invisible."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.parallel.mesh import (
+        param_shardings,
+        replicated_sharding,
+        shard_batch,
+    )
+
+    cfg = _cfg(batch_size=8)
+    au, im = _models(cfg)
+    state_a, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(7))
+    state_b, _, _, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(7))
+    batch = _batch(cfg, seed=7)
+
+    single = itrain.make_train_step(cfg, au, im, opt_au, opt_im)
+    mesh = create_mesh(model_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    sharded = itrain.make_train_step(cfg, au, im, opt_au, opt_im, mesh)
+
+    rep = replicated_sharding(mesh)
+    put = lambda tree, sh: jax.tree.map(jax.device_put, tree, sh)
+    put_rep = lambda tree: jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+    au_shard = param_shardings(state_b.params_au, mesh, min_size=32)
+    im_shard = param_shardings(state_b.params_im, mesh, min_size=32)
+    # at STYLE=32 with min_size=32 some matrices really do get tensor-sharded
+    assert any(
+        s.spec != jax.sharding.PartitionSpec() for s in jax.tree.leaves(au_shard)
+    )
+    state_b = state_b.replace(
+        step=jax.device_put(state_b.step, rep),
+        params_au=put(state_b.params_au, au_shard),
+        params_im=put(state_b.params_im, im_shard),
+        spectral_au=put_rep(state_b.spectral_au),
+        spectral_im=put_rep(state_b.spectral_im),
+        opt_au=put_rep(state_b.opt_au),
+        opt_im=put_rep(state_b.opt_im),
+        rng=jax.device_put(state_b.rng, rep),
+    )
+
+    s_ref, m_ref, _ = single(state_a, batch)
+    s_got, m_got, _ = sharded(state_b, shard_batch(batch, mesh))
+    _assert_step_equivalent(s_ref, s_got, m_ref, m_got)
+
+
+def test_split_train_step_dp_mesh_matches_single_device():
+    """The two-phase (flagship) step variant must also be sharding-invariant."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.parallel.mesh import shard_batch
+
+    cfg = _cfg(batch_size=8)
+    au, im = _models(cfg)
+    state_a, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(9))
+    state_b, _, _, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(9))
+    batch = _batch(cfg, seed=9)
+
+    single = itrain.make_split_train_step(cfg, au, im, opt_au, opt_im)
+    mesh = create_mesh()
+    sharded = itrain.make_split_train_step(cfg, au, im, opt_au, opt_im, mesh)
+
+    s_ref, m_ref, _ = single(state_a, batch)
+    s_got, m_got, _ = sharded(state_b, shard_batch(batch, mesh))
+    _assert_step_equivalent(s_ref, s_got, m_ref, m_got)
 
 
 def test_full_image_training_entry(tmp_path, omniglot_like=None):
