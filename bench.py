@@ -113,6 +113,10 @@ def main():
     float(metrics["au_loss"])
     steps_per_sec = n_steps / (time.perf_counter() - t0)
     baseline = load_baseline()
+    # absolute yardsticks alongside the torch-CPU provenance ratio:
+    # FLOPs/step from `scripts/perf_step.py --flops-cpu` (XLA cost analysis
+    # of both split-step phases at this exact config); v5e bf16 peak 197e12
+    TFLOPS_PER_STEP = 27.619
     print(
         json.dumps(
             {
@@ -120,6 +124,14 @@ def main():
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/sec",
                 "vs_baseline": round(steps_per_sec / baseline, 2),
+                "ms_per_step": round(1e3 / steps_per_sec, 1),
+                "images_per_sec": round(
+                    steps_per_sec * cfg.batch_size * (cfg.m + cfg.n + cfg.k), 0
+                ),
+                "tflops_per_step": TFLOPS_PER_STEP,
+                "mfu_vs_v5e_bf16_peak": round(
+                    TFLOPS_PER_STEP * 1e12 * steps_per_sec / 197e12, 3
+                ),
             }
         )
     )

@@ -171,16 +171,26 @@ def make_siamese_train_step(model, optimizer):
     return train_step
 
 
-def _siamese_pairs(batch, rng: np.random.Generator):
-    """Positive pairs within an episode, negatives across episodes."""
-    real = batch["real_sample"]  # [B, n, H, W, C] uint8
-    b, n = real.shape[:2]
+def _siamese_pairs(batch, rng: np.random.Generator, pairs_per_episode: int = 2):
+    """Same/different-source pairs for the verification loss.
+
+    Positives are drawn from the FULL episode pool (real + si + leaked
+    images of one source) — the eval protocol compares *test vs
+    registration* images, so training must see si-style pairings, not just
+    real-vs-real; negatives pair pool images across different episodes.
+    ``pairs_per_episode`` positive and negative pairs per episode.
+    """
+    pool = np.concatenate(
+        [batch["real_sample"], batch["si_sample"], batch["leaked_sample"]], axis=1
+    )  # [B, n+k+m, H, W, C] uint8
+    b, n = pool.shape[:2]
     x1, x2, y = [], [], []
     for i in range(b):
-        a, c = rng.choice(n, 2, replace=False)
-        x1.append(real[i, a]); x2.append(real[i, c]); y.append(1.0)
-        j = (i + 1 + int(rng.integers(b - 1))) % b
-        x1.append(real[i, a]); x2.append(real[j, int(rng.integers(n))]); y.append(0.0)
+        for _ in range(pairs_per_episode):
+            a, c = rng.choice(n, 2, replace=False)
+            x1.append(pool[i, a]); x2.append(pool[i, c]); y.append(1.0)
+            j = (i + 1 + int(rng.integers(b - 1))) % b
+            x1.append(pool[i, a]); x2.append(pool[j, int(rng.integers(n))]); y.append(0.0)
     return np.stack(x1), np.stack(x2), np.asarray(y, np.float32)
 
 

@@ -153,14 +153,28 @@ def _restore_gim_state(ckpt_path: str, args_dict: dict):
 
 
 def get_gim_authenticator(ckpt_path: str, args_dict: dict) -> Authenticator:
+    from optimalstrategiesagainstgenerativeattacks_tpu.ops.spectral import compute_sigmas
+
     _, au, _, state = _restore_gim_state(ckpt_path, args_dict)
-    variables = {"params": state.params_au, "spectral": state.spectral_au}
+    # sigmas are fixed at eval time: precompute once instead of re-deriving
+    # u^T W v per conv per batch (ops/spectral.py)
+    variables = {
+        "params": state.params_au,
+        "spectral": state.spectral_au,
+        "sigmas": jax.jit(compute_sigmas)(state.params_au, state.spectral_au),
+    }
     return Authenticator(get_au_function(au, variables))
 
 
 def get_gim_impersonator(ckpt_path: str, args_dict: dict) -> Impersonator:
+    from optimalstrategiesagainstgenerativeattacks_tpu.ops.spectral import compute_sigmas
+
     cfg, _, im, state = _restore_gim_state(ckpt_path, args_dict)
-    variables = {"params": state.params_im, "spectral": state.spectral_im}
+    variables = {
+        "params": state.params_im,
+        "spectral": state.spectral_im,
+        "sigmas": jax.jit(compute_sigmas)(state.params_im, state.spectral_im),
+    }
     return Impersonator(
         get_im_function(im, variables, cfg.remove_noise_mean, cfg.n)
     )

@@ -34,11 +34,13 @@ class GIMGaussianDis(nn.Module):
     src_dim: int
     stat: nn.Module
     dtype: Optional[Any] = None
+    hidden_scale: int = 1  # TPU extra: widens the head (reference width = 1)
 
     def setup(self):
         d = self.src_dim
+        s = self.hidden_scale
         self.mlp = MLP(
-            (self.stat.n_stats * d * 2, d, 2 * d, 1),
+            (self.stat.n_stats * d * 2, s * d, 2 * s * d, 1),
             kernel_init=kaiming_normal(0.2),
             bias_init=zeros_init,
             dtype=self.dtype,
@@ -92,8 +94,34 @@ def get_im(src_dim: int) -> GIMGaussianImpersonator:
     return GIMGaussianImpersonator(src_dim=src_dim, env_noise_mapper=env_noise_mapper)
 
 
-def get_au(src_dim: int) -> GIMGaussianAuthenticator:
-    """Factory matching ``gim_gaussian_models.get_au:102-107`` (MeanStd stat)."""
-    stat = MeanStdStat()
-    dis = GIMGaussianDis(src_dim=src_dim, stat=stat)
+def get_au(
+    src_dim: int,
+    stat_type: str = "mean_std",
+    hidden_scale: int = 1,
+) -> GIMGaussianAuthenticator:
+    """Factory matching ``gim_gaussian_models.get_au:102-107`` (MeanStd stat).
+
+    TPU-build extras (defaults reproduce the reference exactly):
+      * ``stat_type``: 'mean_std' (reference) or 'mean_std_fc' — adds a
+        learned per-element DeepSets feature (``GIMMeanStdFcStat:152-172``)
+        so the pooled representation can carry quadratic statistics the
+        optimal d>1 test needs.
+      * ``hidden_scale``: widens the discriminator MLP hidden layers
+        (d, 2d) -> (scale*d, 2*scale*d).  The reference-width MLP at d=10
+        plateaus ~0.033 below the closed-form Nash value (STATUS.md); the
+        equilibrium gap is a capacity limit of the head, not an
+        optimisation defect.
+    """
+    from optimalstrategiesagainstgenerativeattacks_tpu.nn.stats import MeanStdFcStat
+
+    if stat_type == "mean_std":
+        stat = MeanStdStat()
+    elif stat_type == "mean_std_fc":
+        stat = MeanStdFcStat(
+            style_dim=src_dim, fc_n_stats=2,
+            fc_hidden_layers=(4 * src_dim, 4 * src_dim),
+        )
+    else:
+        raise ValueError(f"unknown stat_type: {stat_type}")
+    dis = GIMGaussianDis(src_dim=src_dim, stat=stat, hidden_scale=hidden_scale)
     return GIMGaussianAuthenticator(dis=dis)

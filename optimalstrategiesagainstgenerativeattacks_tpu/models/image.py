@@ -107,7 +107,7 @@ class EncoderPair(nn.Module):
         """[B', H, W, C] -> (src [B', style], env [B', style])."""
         VEncoder = nn.vmap(
             Encoder,
-            variable_axes={"params": 0, "spectral": 0},
+            variable_axes={"params": 0, "spectral": 0, "sigmas": 0},
             split_rngs={"params": True},
             in_axes=None,
             out_axes=0,
@@ -218,7 +218,7 @@ class Img2ImgAdaInResModule(nn.Module):
         if self.scan_blocks:
             scan = nn.scan(
                 _AdaResScanBody,
-                variable_axes={"params": 0, "spectral": 0},
+                variable_axes={"params": 0, "spectral": 0, "sigmas": 0},
                 split_rngs={"params": True},
                 length=self.n_blocks,
                 in_axes=(nn.broadcast, nn.broadcast),

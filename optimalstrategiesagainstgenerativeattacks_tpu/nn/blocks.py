@@ -177,17 +177,23 @@ class SNConv(nn.Module):
             u_var.value = u0
             v_var.value = v0
 
-        if update_sn and not self.is_initializing():
-            w_ng = lax.stop_gradient(w_mat)
-            v = _l2_normalize(w_ng.T @ u_var.value, self.eps)
-            u = _l2_normalize(w_ng @ v, self.eps)
-            u_var.value = u
-            v_var.value = v
+        if self.has_variable("sigmas", "sigma"):
+            # Precomputed by ops.spectral.compute_sigmas inside the loss
+            # (differentiable through the kernel); skips the per-conv
+            # matvec + norm chain entirely — the train steps batch all
+            # power iterations / sigmas per player instead.
+            sigma = self.variable("sigmas", "sigma").value
         else:
-            u = lax.stop_gradient(u_var.value)
-            v = lax.stop_gradient(v_var.value)
-
-        sigma = jnp.dot(u, w_mat @ v)  # grads flow through w_mat
+            if update_sn and not self.is_initializing():
+                w_ng = lax.stop_gradient(w_mat)
+                v = _l2_normalize(w_ng.T @ u_var.value, self.eps)
+                u = _l2_normalize(w_ng @ v, self.eps)
+                u_var.value = u
+                v_var.value = v
+            else:
+                u = lax.stop_gradient(u_var.value)
+                v = lax.stop_gradient(v_var.value)
+            sigma = jnp.dot(u, w_mat @ v)  # grads flow through w_mat
         kernel_sn = kernel / sigma
         y = _conv2d(x, kernel_sn, self.stride, self.padding, self.dtype)
         if self.use_bias:

@@ -67,9 +67,16 @@ def ada_in(
     b, h, w, c = feature.shape
     n = h * w
     f32 = feature.astype(jnp.float32)
-    mean_feat = f32.mean(axis=(1, 2), keepdims=True)          # [B,1,1,C]
+    # single-pass stats: sum and sum-of-squares are sibling reductions over
+    # the same input, which XLA fuses into ONE read of the (large) feature
+    # tensor instead of the two passes a mean-then-centered-variance form
+    # forces.  f32 accumulation over bf16 activations keeps the
+    # cancellation error well below bf16 quantisation.
+    s1 = f32.sum(axis=(1, 2), keepdims=True)                  # [B,1,1,C]
+    s2 = jnp.square(f32).sum(axis=(1, 2), keepdims=True)
+    mean_feat = s1 / n
     # unbiased std to match torch.std(feature, dim=2)
-    var = jnp.square(f32 - mean_feat).sum(axis=(1, 2), keepdims=True) / max(n - 1, 1)
+    var = jnp.maximum(s2 - n * jnp.square(mean_feat), 0.0) / max(n - 1, 1)
     std_feat = jnp.sqrt(var) + eps
     mean_style = mean_style.astype(jnp.float32)[:, None, None, :]
     std_style = std_style.astype(jnp.float32)[:, None, None, :]
@@ -90,8 +97,13 @@ def instance_norm(
       scale, bias: optional [C] affine parameters.
     """
     f32 = x.astype(jnp.float32)
-    mean = f32.mean(axis=(1, 2), keepdims=True)
-    var = f32.var(axis=(1, 2), keepdims=True)
+    n = x.shape[1] * x.shape[2]
+    # single-pass sum / sum-of-squares (see ada_in): one read of x for the
+    # stats instead of two
+    s1 = f32.sum(axis=(1, 2), keepdims=True)
+    s2 = jnp.square(f32).sum(axis=(1, 2), keepdims=True)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
     out = (f32 - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
     if scale is not None:
         out = out * scale.astype(jnp.float32)

@@ -239,7 +239,9 @@ def train_gim_gaussian(cfg: GaussianGameConfig, au=None, im=None, logger=None, m
     from optimalstrategiesagainstgenerativeattacks_tpu.train.logger import Logger
     from optimalstrategiesagainstgenerativeattacks_tpu.train.state import num_parameters
 
-    au = au if au is not None else gmodels.get_au(cfg.src_dim)
+    au = au if au is not None else gmodels.get_au(
+        cfg.src_dim, stat_type=cfg.au_stat, hidden_scale=cfg.au_hidden_scale
+    )
     im = im if im is not None else gmodels.get_im(cfg.src_dim)
     logger = logger or Logger(
         log_dir=os.path.join(cfg.outdir, "logs"),

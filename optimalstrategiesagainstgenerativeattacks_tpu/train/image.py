@@ -36,6 +36,10 @@ import numpy as np
 import optax
 
 from optimalstrategiesagainstgenerativeattacks_tpu.data.episodic import normalize_uint8
+from optimalstrategiesagainstgenerativeattacks_tpu.ops.spectral import (
+    compute_sigmas,
+    power_iterate,
+)
 from optimalstrategiesagainstgenerativeattacks_tpu.ops.stats import custom_std
 from optimalstrategiesagainstgenerativeattacks_tpu.parallel.mesh import constrain_data
 from optimalstrategiesagainstgenerativeattacks_tpu.train.losses import (
@@ -125,7 +129,14 @@ def create_state(cfg: ImageGameConfig, au, im, rng: jax.Array):
 ########################################################################################################################
 
 
-def _au_forward_pair(au, params_au, spectral_au, test, si):
+def _au_variables(params_au, spectral_au, sigmas_au=None):
+    variables = {"params": params_au, "spectral": spectral_au}
+    if sigmas_au is not None:
+        variables["sigmas"] = sigmas_au
+    return variables
+
+
+def _au_forward_pair(au, params_au, spectral_au, test, si, sigmas_au=None):
     """Fused eval-mode authenticator score of (test, si): one pass of each
     encoder over [si; test], then the discriminator head."""
     b = test.shape[0]
@@ -134,18 +145,22 @@ def _au_forward_pair(au, params_au, spectral_au, test, si):
     flat = jnp.concatenate(
         [si.reshape(b * k, *img_shape), test.reshape(b * n, *img_shape)], axis=0
     )
-    variables = {"params": params_au, "spectral": spectral_au}
+    variables = _au_variables(params_au, spectral_au, sigmas_au)
     src, env = au.apply(variables, flat, False, method=au.encode_flat)
     si_src, test_src = src[: b * k].reshape(b, k, -1), src[b * k :].reshape(b, n, -1)
     si_env, test_env = env[: b * k].reshape(b, k, -1), env[b * k :].reshape(b, n, -1)
     return au.apply(variables, test_src, test_env, si_src, si_env, method=au.discriminate)
 
 
-def _au_outputs(au, params_au, spectral_au, real, fake, si, update_sn):
+def _au_outputs(au, params_au, spectral_au, real, fake, si, sigmas_au=None):
     """Fused authenticator forward: one pass of each encoder over
     [si; real; fake], then two discriminator-head calls.
 
-    Returns (out_real, out_fake, new_spectral)."""
+    Spectral-norm state updates are hoisted out of the loss (see
+    ``ops/spectral.py``); callers advance ``spectral_au`` themselves via
+    ``power_iterate`` and pass precomputed ``sigmas_au``.
+
+    Returns (out_real, out_fake)."""
     b = real.shape[0]
     n, k = real.shape[1], si.shape[1]
     img_shape = real.shape[2:]
@@ -157,15 +172,8 @@ def _au_outputs(au, params_au, spectral_au, real, fake, si, update_sn):
         ],
         axis=0,
     )
-    variables = {"params": params_au, "spectral": spectral_au}
-    if update_sn:
-        (src, env), muts = au.apply(
-            variables, flat, True, method=au.encode_flat, mutable=["spectral"]
-        )
-        new_spectral = muts["spectral"]
-    else:
-        src, env = au.apply(variables, flat, False, method=au.encode_flat)
-        new_spectral = spectral_au
+    variables = _au_variables(params_au, spectral_au, sigmas_au)
+    src, env = au.apply(variables, flat, False, method=au.encode_flat)
 
     def split(x):
         si_e = x[: b * k].reshape(b, k, -1)
@@ -177,7 +185,7 @@ def _au_outputs(au, params_au, spectral_au, real, fake, si, update_sn):
     si_env, real_env, fake_env = split(env)
     out_real = au.apply(variables, real_src, real_env, si_src, si_env, method=au.discriminate)
     out_fake = au.apply(variables, fake_src, fake_env, si_src, si_env, method=au.discriminate)
-    return out_real, out_fake, new_spectral
+    return out_real, out_fake
 
 
 ########################################################################################################################
@@ -213,34 +221,33 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
     def im_phase(params_im, spectral_im, opt_im_state, params_au, spectral_au,
                  rng_in, step, leaked, si):
         rng, k_noise = jax.random.split(jax.random.fold_in(rng_in, step))
+        # the frozen authenticator's sigmas are constants for this phase
+        sigmas_au = jax.lax.stop_gradient(compute_sigmas(params_au, spectral_au))
 
-        def im_fwd(p_im, s_im, update_sn):
-            variables = {"params": p_im, "spectral": s_im}
-            kwargs = dict(rngs={"noise": k_noise})
-            if update_sn:
-                fake, muts = im.apply(
-                    variables, leaked, cfg.n, cfg.remove_noise_mean, True,
-                    mutable=["spectral"], **kwargs,
-                )
-                new_spec = muts["spectral"]
-            else:
-                fake = im.apply(
-                    variables, leaked, cfg.n, cfg.remove_noise_mean, False, **kwargs
-                )
-                new_spec = s_im
-            auth_out = _au_forward_pair(au, params_au, spectral_au, fake, si)
+        def im_fwd(p_im, s_im):
+            variables = {
+                "params": p_im,
+                "spectral": s_im,
+                "sigmas": compute_sigmas(p_im, s_im),
+            }
+            fake = im.apply(
+                variables, leaked, cfg.n, cfg.remove_noise_mean, False,
+                rngs={"noise": k_noise},
+            )
+            auth_out = _au_forward_pair(au, params_au, spectral_au, fake, si, sigmas_au)
             loss = bce_with_logits(auth_out, 1.0).mean()
-            return loss, (fake, new_spec)
+            return loss, fake
 
         def train_branch(_):
-            (loss, (fake, new_spec)), grads = jax.value_and_grad(
-                lambda p: im_fwd(p, spectral_im, True), has_aux=True
+            new_spec = power_iterate(params_im, spectral_im)
+            (loss, fake), grads = jax.value_and_grad(
+                lambda p: im_fwd(p, new_spec), has_aux=True
             )(params_im)
             updates, new_opt = opt_im.update(grads, opt_im_state, params_im)
             return optax.apply_updates(params_im, updates), new_spec, new_opt, loss, fake, jnp.float32(1.0)
 
         def eval_branch(_):
-            loss, (fake, _) = im_fwd(params_im, spectral_im, False)
+            loss, fake = im_fwd(params_im, spectral_im)
             return params_im, spectral_im, opt_im_state, loss, fake, jnp.float32(0.0)
 
         if cfg.n_au_steps == 1:
@@ -254,24 +261,29 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def au_phase(params_au, spectral_au, opt_au_state, fake, real, si):
+        new_spec_au = power_iterate(params_au, spectral_au)
+
         def au_loss_fn(p_au):
-            out_real, out_fake, new_spec = _au_outputs(
-                au, p_au, spectral_au, real, fake, si, True
+            sigmas_au = compute_sigmas(p_au, new_spec_au)
+            out_real, out_fake = _au_outputs(
+                au, p_au, new_spec_au, real, fake, si, sigmas_au
             )
             loss_on_real = bce_with_logits(out_real, 1.0)
             loss_on_fake = bce_with_logits(out_fake, 0.0)
             if cfg.reg_param > 0:
+                variables = _au_variables(p_au, new_spec_au, sigmas_au)
+
                 def score_real(r, s):
-                    return au.apply({"params": p_au, "spectral": spectral_au}, r, s, False)
+                    return au.apply(variables, r, s, False)
 
                 reg = cfg.reg_param * grad2_penalty(score_real, (real, si))
             else:
                 reg = jnp.zeros_like(loss_on_real)
             loss = (loss_on_real + loss_on_fake + reg).mean()
-            return loss, (loss_on_real, loss_on_fake, reg, out_real, out_fake, new_spec)
+            return loss, (loss_on_real, loss_on_fake, reg, out_real, out_fake)
 
         (au_loss, aux), grads = jax.value_and_grad(au_loss_fn, has_aux=True)(params_au)
-        loss_on_real, loss_on_fake, reg, out_real, out_fake, new_spec_au = aux
+        loss_on_real, loss_on_fake, reg, out_real, out_fake = aux
         updates, new_opt = opt_au.update(grads, opt_au_state, params_au)
         new_params_au = optax.apply_updates(params_au, updates)
         acc, acc_on_real, acc_on_fake = gan_accuracy(out_real, out_fake)
@@ -295,16 +307,25 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
             for k in ("real_sample", "leaked_sample", "si_sample")
         )
 
+    def _spec(tree):
+        return jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+
     def train_step(state: GameState, batch):
         step = state.step + 1
         real, leaked, si = prep(batch)
-        (new_params_im, new_spec_im, new_opt_im, im_loss, fake, im_trained, rng) = im_phase(
+        im_args = (
             state.params_im, state.spectral_im, state.opt_im,
             state.params_au, state.spectral_au, state.rng, step, leaked, si,
         )
-        new_params_au, new_spec_au, new_opt_au, metrics = au_phase(
-            state.params_au, state.spectral_au, state.opt_au, fake, real, si
+        if train_step.arg_specs is None:
+            train_step.arg_specs = {"im_phase": _spec(im_args)}
+        (new_params_im, new_spec_im, new_opt_im, im_loss, fake, im_trained, rng) = im_phase(
+            *im_args
         )
+        au_args = (state.params_au, state.spectral_au, state.opt_au, fake, real, si)
+        if "au_phase" not in train_step.arg_specs:
+            train_step.arg_specs["au_phase"] = _spec(au_args)
+        new_params_au, new_spec_au, new_opt_au, metrics = au_phase(*au_args)
         metrics = dict(metrics)
         metrics["im_loss"] = im_loss
         metrics["im_trained"] = im_trained
@@ -320,6 +341,11 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
         )
         return new_state, metrics, fake
 
+    # introspection hooks for perf tooling (scripts/perf_step.py): the two
+    # jitted phases plus the arg shape/dtype specs captured on first call,
+    # so FLOPs can be read off the lowered computations without recompiling
+    train_step.phases = {"im_phase": im_phase, "au_phase": au_phase}
+    train_step.arg_specs = None
     return train_step
 
 
@@ -334,29 +360,33 @@ def make_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
         si = constrain_data(normalize_uint8(batch["si_sample"]), mesh)
 
         # ---- impersonator: train when (step+1) % n_au_steps == 0 (:225-232)
-        def im_fwd(params_im, spectral_im, update_sn):
-            variables = {"params": params_im, "spectral": spectral_im}
-            kwargs = dict(rngs={"noise": k_noise})
-            if update_sn:
-                fake, muts = im.apply(
-                    variables, leaked, cfg.n, cfg.remove_noise_mean, True,
-                    mutable=["spectral"], **kwargs,
-                )
-                new_spec = muts["spectral"]
-            else:
-                fake = im.apply(
-                    variables, leaked, cfg.n, cfg.remove_noise_mean, False, **kwargs
-                )
-                new_spec = spectral_im
-            auth_out = _au_forward_pair(au, state.params_au, state.spectral_au, fake, si)
+        sigmas_au_frozen = jax.lax.stop_gradient(
+            compute_sigmas(state.params_au, state.spectral_au)
+        )
+
+        def im_fwd(params_im, spectral_im):
+            variables = {
+                "params": params_im,
+                "spectral": spectral_im,
+                "sigmas": compute_sigmas(params_im, spectral_im),
+            }
+            fake = im.apply(
+                variables, leaked, cfg.n, cfg.remove_noise_mean, False,
+                rngs={"noise": k_noise},
+            )
+            auth_out = _au_forward_pair(
+                au, state.params_au, state.spectral_au, fake, si, sigmas_au_frozen
+            )
             loss = bce_with_logits(auth_out, 1.0).mean()
-            return loss, (fake, new_spec)
+            return loss, fake
 
         def im_train_branch(_):
-            def loss_fn(params_im):
-                return im_fwd(params_im, state.spectral_im, True)
+            new_spec = power_iterate(state.params_im, state.spectral_im)
 
-            (loss, (fake, new_spec)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            def loss_fn(params_im):
+                return im_fwd(params_im, new_spec)
+
+            (loss, fake), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params_im
             )
             updates, new_opt = opt_im.update(grads, state.opt_im, state.params_im)
@@ -364,7 +394,7 @@ def make_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
             return new_params, new_spec, new_opt, loss, fake, jnp.float32(1.0)
 
         def im_eval_branch(_):
-            loss, (fake, _) = im_fwd(state.params_im, state.spectral_im, False)
+            loss, fake = im_fwd(state.params_im, state.spectral_im)
             return (
                 state.params_im,
                 state.spectral_im,
@@ -388,29 +418,32 @@ def make_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
 
         # ---- authenticator on the detached fake (:237-239, detach :166)
         fake = jax.lax.stop_gradient(fake)
+        new_spectral_au = power_iterate(state.params_au, state.spectral_au)
 
         def au_loss_fn(params_au):
-            out_real, out_fake, new_spec = _au_outputs(
-                au, params_au, state.spectral_au, real, fake, si, True
+            sigmas_au = compute_sigmas(params_au, new_spectral_au)
+            out_real, out_fake = _au_outputs(
+                au, params_au, new_spectral_au, real, fake, si, sigmas_au
             )
             loss_on_real = bce_with_logits(out_real, 1.0)
             loss_on_fake = bce_with_logits(out_fake, 0.0)
             if cfg.reg_param > 0:
+                variables = _au_variables(params_au, new_spectral_au, sigmas_au)
+
                 def score_real(r, s):
-                    variables = {"params": params_au, "spectral": state.spectral_au}
                     return au.apply(variables, r, s, False)
 
                 reg = cfg.reg_param * grad2_penalty(score_real, (real, si))
             else:
                 reg = jnp.zeros_like(loss_on_real)
             loss = (loss_on_real + loss_on_fake + reg).mean()
-            aux = (loss_on_real, loss_on_fake, reg, out_real, out_fake, new_spec)
+            aux = (loss_on_real, loss_on_fake, reg, out_real, out_fake)
             return loss, aux
 
         (au_loss, aux), au_grads = jax.value_and_grad(au_loss_fn, has_aux=True)(
             state.params_au
         )
-        loss_on_real, loss_on_fake, reg, out_real, out_fake, new_spectral_au = aux
+        loss_on_real, loss_on_fake, reg, out_real, out_fake = aux
         au_updates, new_opt_au = opt_au.update(au_grads, state.opt_au, state.params_au)
         new_params_au = optax.apply_updates(state.params_au, au_updates)
 
@@ -452,15 +485,20 @@ def make_eval_step(cfg: ImageGameConfig, au, im, mesh=None):
         leaked = constrain_data(normalize_uint8(batch["leaked_sample"]), mesh)
         si = constrain_data(normalize_uint8(batch["si_sample"]), mesh)
 
+        sigmas_im = compute_sigmas(state.params_im, state.spectral_im)
+        sigmas_au = compute_sigmas(state.params_au, state.spectral_au)
         fake = im.apply(
-            {"params": state.params_im, "spectral": state.spectral_im},
+            {"params": state.params_im, "spectral": state.spectral_im,
+             "sigmas": sigmas_im},
             leaked, cfg.n, cfg.remove_noise_mean, False, rngs={"noise": rng},
         )
-        im_out = _au_forward_pair(au, state.params_au, state.spectral_au, fake, si)
+        im_out = _au_forward_pair(
+            au, state.params_au, state.spectral_au, fake, si, sigmas_au
+        )
         im_loss = bce_with_logits(im_out, 1.0).mean()
 
-        out_real, out_fake, _ = _au_outputs(
-            au, state.params_au, state.spectral_au, real, fake, si, False
+        out_real, out_fake = _au_outputs(
+            au, state.params_au, state.spectral_au, real, fake, si, sigmas_au
         )
         loss_on_real = bce_with_logits(out_real, 1.0)
         loss_on_fake = bce_with_logits(out_fake, 0.0)

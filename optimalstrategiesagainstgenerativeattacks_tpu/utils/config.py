@@ -76,6 +76,8 @@ class GaussianGameConfig:
     # TPU-native extras
     log_every: int = 100          # device->host metric sync cadence
     compute_dtype: str = "float32"
+    au_stat: str = "mean_std"     # 'mean_std' (reference) | 'mean_std_fc'
+    au_hidden_scale: int = 1      # widens the dis head (reference = 1)
 
     @classmethod
     def from_dict(cls, d: dict) -> "GaussianGameConfig":

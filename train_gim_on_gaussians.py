@@ -45,6 +45,14 @@ def get_args():
     parser.add_argument("--save_stats_every", type=int, default=100)
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--log_every", type=int, default=100)
+    # TPU-build extras (defaults reproduce the reference architecture)
+    parser.add_argument("--au_stat", default="mean_std",
+                        choices=["mean_std", "mean_std_fc"],
+                        help="Authenticator pooling stat; 'mean_std_fc' adds a "
+                             "learned DeepSets feature (closes the d=10 gap to "
+                             "the closed-form Nash value)")
+    parser.add_argument("--au_hidden_scale", type=int, default=1,
+                        help="Width multiplier for the discriminator head MLP")
     return parser.parse_args()
 
 
