@@ -286,6 +286,7 @@ class AdaInImage2Image(nn.Module):
     n_adain_res_blocks: int = 5
     min_n_channels: int = 64
     dtype: Optional[Dtype] = None
+    scan_adain_blocks: bool = True
 
     def setup(self):
         self.down_block = Img2ImgDownModule(
@@ -296,7 +297,8 @@ class AdaInImage2Image(nn.Module):
             dtype=self.dtype,
         )
         self.adain_res_block = Img2ImgAdaInResModule(
-            style_dim=self.style_dim, n_blocks=self.n_adain_res_blocks, dtype=self.dtype
+            style_dim=self.style_dim, n_blocks=self.n_adain_res_blocks,
+            dtype=self.dtype, scan_blocks=self.scan_adain_blocks,
         )
         self.adain_up_block = Img2ImgAdaInUpModule(
             img_size=self.img_size,
@@ -495,6 +497,7 @@ def get_im(
     use_img_att: bool = False,
     num_env_noise_layers: int = 4,
     dtype: Optional[Dtype] = None,
+    scan_adain_blocks: bool = True,
 ) -> GIMFaceImpersonator:
     """Factory matching ``gim_img_models.get_im:429-449``."""
     encoders = EncoderPair(
@@ -509,6 +512,7 @@ def get_im(
         out_channels=img_channels,
         style_dim=style_dim,
         dtype=dtype,
+        scan_adain_blocks=scan_adain_blocks,
     )
     env_noise_mapper = MLP(
         [style_dim for _ in range(num_env_noise_layers + 1)], dtype=dtype

@@ -135,6 +135,18 @@ def _l2_normalize(x, eps=1e-12):
     return x / (jnp.linalg.norm(x) + eps)
 
 
+def _fold_kernel_for_upscale2(kernel):
+    """HWIO kernel K -> K' with conv(nearest_up2(x), K) == lhs-dilated conv(x, K').
+
+    Nearest 2x upsampling is zero-insertion convolved with ones(2, 2), so the
+    composition folds into a single convolution with K' = K (*) ones(2, 2)
+    (size (kh+1, kw+1)) over the 2x-dilated input.  Exact algebra — it removes
+    the 4x-sized upsampled intermediate AND the 4x duplicated conv work.
+    """
+    kp = jnp.pad(kernel, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    return kp[:-1, :-1] + kp[1:, :-1] + kp[:-1, 1:] + kp[1:, 1:]
+
+
 class SNConv(nn.Module):
     """Spectrally-normalised conv: kernel / sigma(kernel), NHWC.
 
@@ -154,6 +166,10 @@ class SNConv(nn.Module):
     bias_init: Optional[Callable] = None
     dtype: Optional[Dtype] = None
     eps: float = 1e-12
+    # 2 = consume a (virtual) nearest-2x-upsampled input: the upsample is
+    # folded into the conv via _fold_kernel_for_upscale2 (exact), so callers
+    # pass the LOW-resolution tensor and get the high-resolution output
+    upscale: int = 1
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
@@ -195,7 +211,26 @@ class SNConv(nn.Module):
                 v = lax.stop_gradient(v_var.value)
             sigma = jnp.dot(u, w_mat @ v)  # grads flow through w_mat
         kernel_sn = kernel / sigma
-        y = _conv2d(x, kernel_sn, self.stride, self.padding, self.dtype)
+        if self.upscale == 2:
+            assert self.stride == 1
+            kf = _fold_kernel_for_upscale2(kernel_sn)
+            h = x
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
+                kf = kf.astype(self.dtype)
+            else:
+                h = h.astype(kf.dtype)
+            p = self.padding + 1
+            y = lax.conv_general_dilated(
+                h,
+                kf,
+                window_strides=(1, 1),
+                padding=((p, p), (p, p)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            y = _conv2d(x, kernel_sn, self.stride, self.padding, self.dtype)
         if self.use_bias:
             bias_init = self.bias_init or torch_bias_init(fan)
             bias = self.param("bias", bias_init, (self.features,), jnp.float32)
@@ -565,10 +600,13 @@ class ResBlockDown(nn.Module):
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
+        # pool BEFORE the 1x1 skip conv: a 1x1 conv commutes exactly with
+        # average pooling (both linear, per-pixel), and pooling first cuts
+        # the conv's FLOPs and — the real cost at [B*, 32, 32, C] — its
+        # HBM write traffic by 4x (torch order: conv then pool, :492-506)
         res = SNConv(self.out_channels, 1, padding=0, dtype=self.dtype, name="conv_l1")(
-            x, update_sn
+            avg_pool2d(x), update_sn
         )
-        res = avg_pool2d(res)
 
         out = leaky_relu(x)
         out = SNConv(
@@ -717,9 +755,13 @@ class AdaResBlockUp(nn.Module):
     @nn.compact
     def __call__(self, x, style1, style2, update_sn: bool = False):
         c_in = x.shape[-1]
-        res = upscale2d(x, self.scale)
-        res = SNConv(self.out_channels, 1, padding=0, dtype=self.dtype, name="conv_l1")(
-            res, update_sn
+        # 1x1 skip conv before the nearest upsample (exact commutation; see
+        # ResBlockUp)
+        res = upscale2d(
+            SNConv(self.out_channels, 1, padding=0, dtype=self.dtype, name="conv_l1")(
+                x, update_sn
+            ),
+            self.scale,
         )
         out = ada_in(x, style1[:, :c_in], style1[:, c_in:])
         out = leaky_relu(out)
@@ -750,17 +792,30 @@ class ResBlockUp(nn.Module):
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
-        res = upscale2d(x, self.scale)
-        res = SNConv(self.out_channels, 1, padding=0, dtype=self.dtype, name="conv_l1")(
-            res, update_sn
+        # 1x1 skip conv BEFORE the nearest upsample: exactly commutative
+        # (per-pixel linear map vs pixel duplication) at 1/4 the conv FLOPs
+        # and traffic (torch order: upsample then conv, :747-751)
+        res = upscale2d(
+            SNConv(self.out_channels, 1, padding=0, dtype=self.dtype, name="conv_l1")(
+                x, update_sn
+            ),
+            self.scale,
         )
 
         out = InstanceNorm(name="in1")(x)
         out = leaky_relu(out)
-        out = upscale2d(out, self.scale)
-        out = SNConv(
-            self.out_channels, self.conv_size, padding=self.padding, dtype=self.dtype, name="conv_r1"
-        )(out, update_sn)
+        if self.scale == 2:
+            # upsample folded into the conv (exact; see SNConv.upscale)
+            out = SNConv(
+                self.out_channels, self.conv_size, padding=self.padding,
+                dtype=self.dtype, upscale=2, name="conv_r1",
+            )(out, update_sn)
+        else:
+            out = upscale2d(out, self.scale)
+            out = SNConv(
+                self.out_channels, self.conv_size, padding=self.padding,
+                dtype=self.dtype, name="conv_r1",
+            )(out, update_sn)
         out = InstanceNorm(name="in2")(out)
         out = leaky_relu(out)
         out = SNConv(
@@ -810,17 +865,29 @@ class AdaResBlockUp2(nn.Module):
         mean2 = Dense(self.out_channels, dtype=self.dtype, name="lin2_mean")(style)
         std2 = Dense(self.out_channels, dtype=self.dtype, name="lin2_std")(style)
 
-        res = upscale2d(x, self.scale)
-        res = SNConv(self.out_channels, 1, padding=0, dtype=self.dtype, name="conv_l1")(
-            res, update_sn
+        # 1x1 skip conv before the nearest upsample (exact commutation; see
+        # ResBlockUp)
+        res = upscale2d(
+            SNConv(self.out_channels, 1, padding=0, dtype=self.dtype, name="conv_l1")(
+                x, update_sn
+            ),
+            self.scale,
         )
 
         out = ada_in(x, mean1, std1)
         out = leaky_relu(out)
-        out = upscale2d(out, self.scale)
-        out = SNConv(
-            self.out_channels, self.conv_size, padding=self.padding, dtype=self.dtype, name="conv_r1"
-        )(out, update_sn)
+        if self.scale == 2:
+            # upsample folded into the conv (exact; see SNConv.upscale)
+            out = SNConv(
+                self.out_channels, self.conv_size, padding=self.padding,
+                dtype=self.dtype, upscale=2, name="conv_r1",
+            )(out, update_sn)
+        else:
+            out = upscale2d(out, self.scale)
+            out = SNConv(
+                self.out_channels, self.conv_size, padding=self.padding,
+                dtype=self.dtype, name="conv_r1",
+            )(out, update_sn)
         out = ada_in(out, mean2, std2)
         out = leaky_relu(out)
         out = SNConv(

@@ -664,7 +664,7 @@ def train_gim_imgs(
     im = im if im is not None else imodels.get_im(
         img_size=cfg.img_size, img_channels=cfg.img_channels, style_dim=cfg.style_dim,
         use_img_att=cfg.use_img_att, num_env_noise_layers=cfg.num_env_noise_layers,
-        dtype=dtype,
+        dtype=dtype, scan_adain_blocks=cfg.scan_adain_blocks,
     )
     logger = logger or Logger(
         log_dir=os.path.join(cfg.outdir, "logs"),

@@ -132,6 +132,10 @@ class ImageGameConfig:
     log_enc_every: int = 500      # tb_log_enc_every
     compute_dtype: str = "bfloat16"
     prefetch_depth: int = 2
+    # nn.scan over the 5 AdaIN res blocks: one traced body (small HLO, fast
+    # remote compile). False unrolls them — bigger program, lets XLA
+    # pipeline across blocks
+    scan_adain_blocks: bool = True
     # 'auto': monolithic jitted step, falling back to the two-phase split
     # step if the compile server rejects the large program; 'always'/'never'
     split_step: str = "auto"

@@ -28,7 +28,8 @@ def compute_flops(args, cfg, itrain, imodels):
 
     dtype = jnp.bfloat16
     au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
-    im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
+    im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
+                        scan_adain_blocks=cfg.scan_adain_blocks)
     state = jax.eval_shape(
         lambda k: itrain.create_state(cfg, au, im, k)[0], jax.random.PRNGKey(0)
     )
@@ -66,6 +67,8 @@ def main():
     p.add_argument("--reg", type=float, default=0.0)
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--monolithic", action="store_true")
+    p.add_argument("--no-scan", action="store_true",
+                   help="unroll the AdaIN res blocks instead of nn.scan")
     p.add_argument("--flops-cpu", action="store_true",
                    help="only print FLOPs/step, traced on the CPU backend")
     args = p.parse_args()
@@ -92,6 +95,7 @@ def main():
         batch_size=args.batch, m=args.m, n=args.n, k=args.k, img_size=args.img,
         img_channels=args.channels, style_dim=args.style, reg_param=args.reg,
         compute_dtype="bfloat16", inject_lr=True,
+        scan_adain_blocks=not args.no_scan,
     )
     if args.flops_cpu:
         flops = compute_flops(args, cfg, itrain, imodels)
@@ -101,7 +105,8 @@ def main():
         return
     dtype = jnp.bfloat16
     au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
-    im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
+    im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
+                        scan_adain_blocks=cfg.scan_adain_blocks)
     state, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
     if args.monolithic:
         step_fn = itrain.make_train_step(cfg, au, im, opt_au, opt_im)

@@ -14,3 +14,33 @@ try:
     F._verify_spatial_size = lambda size: None
 except Exception:  # torch absent or internals moved — shim is best-effort
     pass
+
+# sklearn >= 1.0 returns a plain python float from roc_auc_score; the
+# reference calls .item() on it (authentication_score.py:94-97)
+try:
+    import numpy as _np
+    import sklearn.metrics as _skm
+
+    _orig_roc_auc = _skm.roc_auc_score
+
+    def _roc_auc_score(*args, **kwargs):
+        return _np.float64(_orig_roc_auc(*args, **kwargs))
+
+    _skm.roc_auc_score = _roc_auc_score
+except Exception:
+    pass
+
+# pandas >= 2.0 removed DataFrame.append; the reference eval builds its
+# results table with it (eval_gim_on_authentication.py:248)
+try:
+    import pandas as _pd
+
+    if not hasattr(_pd.DataFrame, "append"):
+        def _df_append(self, other, ignore_index=False, **kwargs):
+            if isinstance(other, dict):
+                other = _pd.DataFrame([other])
+            return _pd.concat([self, other], ignore_index=ignore_index)
+
+        _pd.DataFrame.append = _df_append
+except Exception:
+    pass

@@ -206,3 +206,42 @@ def test_spectral_norm_eval_does_not_mutate(rng):
     # eval path works without mutable collections
     out = m.apply(v, x, False)
     assert out.shape == (1, 4, 4, 4)
+
+
+def test_snconv_folded_upscale_matches_explicit(rng):
+    """SNConv(upscale=2) == SNConv(upscale2d(x)) exactly (algebraic fold of
+    nearest upsampling into the conv kernel; blocks._fold_kernel_for_upscale2)."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.ops.image_ops import upscale2d
+
+    for ks, pad in ((3, 1), (9, 4)):
+        m_ref = blocks.SNConv(features=6, kernel_size=ks, padding=pad)
+        m_fold = blocks.SNConv(features=6, kernel_size=ks, padding=pad, upscale=2)
+        x = jax.random.normal(jax.random.fold_in(rng, ks), (2, 5, 5, 4))
+        v = m_ref.init(rng, upscale2d(x))  # same param shapes for both modules
+        ref = m_ref.apply(v, upscale2d(x), False)
+        out = m_fold.apply(v, x, False)
+        assert out.shape == ref.shape == (2, 10, 10, 6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pool_conv_commutation_exact(rng):
+    """1x1 conv commutes with avg-pool / nearest-upsample (the ResBlock skip
+    reordering): conv(pool(x)) == pool(conv(x)) and up(conv(x)) == conv(up(x))."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.ops.image_ops import (
+        avg_pool2d,
+        upscale2d,
+    )
+
+    m = blocks.SNConv(features=6, kernel_size=1, padding=0)
+    x = jax.random.normal(rng, (2, 8, 8, 4))
+    v = m.init(rng, x)
+    np.testing.assert_allclose(
+        np.asarray(m.apply(v, avg_pool2d(x), False)),
+        np.asarray(avg_pool2d(m.apply(v, x, False))),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(upscale2d(m.apply(v, x, False))),
+        np.asarray(m.apply(v, upscale2d(x), False)),
+        atol=1e-5,
+    )
