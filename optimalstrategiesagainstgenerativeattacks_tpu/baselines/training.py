@@ -10,8 +10,10 @@ both, producing checkpoints the eval CLI can load:
     ``{"arcface": variables}`` + args.json with num_layers/dropout/
     img_size/img_channels/emb_dim/th.
   * Siamese: binary same/different-source classification over pairs drawn
-    from the episodic dataset (positives within an episode, negatives
-    across episodes); payload ``{"model": variables}``.
+    from the episodic dataset; payload ``{"model": variables}``.  Two pair
+    recipes: on-device batch-hard mining (default — hardest positive inside
+    the episode, hardest negative across episodes, scored by the model's own
+    classifier head) and the simpler random-pair recipe (``mining="random"``).
 """
 
 from __future__ import annotations
@@ -171,6 +173,68 @@ def make_siamese_train_step(model, optimizer):
     return train_step
 
 
+def make_siamese_batchhard_step(model, optimizer):
+    """Batch-hard mined verification step (the default recipe).
+
+    Upgrade over the random-pair recipe the round-1 demo used: embed the
+    whole episode pool once, score every pair with the model's own
+    ``classify(|e1-e2|)`` head, and train each anchor against its hardest
+    positive (lowest same-source logit inside its episode) and hardest
+    negative (highest logit across episodes).  Mining runs on-device inside
+    the jitted step (one encoder pass + one [N,N] pair-logit matrix; N =
+    batch_size * (n+k+m) stays small), so the recipe costs no extra host
+    work and no extra encoder passes.
+    """
+
+    @jax.jit
+    def train_step(variables, opt_state, pool):
+        b, s = pool.shape[:2]
+        n = b * s
+        imgs = normalize_uint8(pool).reshape((n,) + pool.shape[2:])
+        episode = jnp.repeat(jnp.arange(b), s)
+        same = episode[:, None] == episode[None, :]
+        eye = jnp.eye(n, dtype=bool)
+        neg_inf = jnp.asarray(-1e30, jnp.float32)
+
+        def loss_fn(params):
+            emb, muts = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                imgs, True, method="encode", mutable=["batch_stats"],
+            )
+            logits = model.apply(
+                {"params": params}, emb[:, None, :], emb[None, :, :],
+                method="classify",
+            )[..., 0].astype(jnp.float32)                      # [N, N]
+            sel = jax.lax.stop_gradient(logits)
+            # hardest positive: same episode, not self, minimal logit
+            pos_idx = jnp.argmin(
+                jnp.where(same & ~eye, sel, -neg_inf), axis=1)
+            # hardest negative: other episode, maximal logit
+            neg_idx = jnp.argmax(jnp.where(~same, sel, neg_inf), axis=1)
+            rows = jnp.arange(n)
+            pos_logit = logits[rows, pos_idx]
+            neg_logit = logits[rows, neg_idx]
+            loss = 0.5 * (
+                bce_with_logits(pos_logit[:, None], 1.0)
+                + bce_with_logits(neg_logit[:, None], 0.0)
+            ).mean()
+            acc = 0.5 * ((pos_logit >= 0).mean() + (neg_logit < 0).mean())
+            return loss, (acc, muts["batch_stats"])
+
+        (loss, (acc, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        updates, new_opt = optimizer.update(grads, opt_state, variables["params"])
+        new_params = optax.apply_updates(variables["params"], updates)
+        return (
+            {"params": new_params, "batch_stats": new_bs},
+            new_opt,
+            {"loss": loss, "acc": acc},
+        )
+
+    return train_step
+
+
 def _siamese_pairs(batch, rng: np.random.Generator, pairs_per_episode: int = 2):
     """Same/different-source pairs for the verification loss.
 
@@ -218,7 +282,13 @@ def train_siamese(cfg: Dict[str, Any], ds, progress: bool = True):
     variables = dict(jax.jit(lambda k: model.init(k, dummy, dummy))(rng))
     optimizer = optax.adam(cfg["lr"])
     opt_state = optimizer.init(variables["params"])
-    train_step = make_siamese_train_step(model, optimizer)
+    mining = cfg.get("mining", "batch_hard")
+    if mining == "batch_hard":
+        train_step = make_siamese_batchhard_step(model, optimizer)
+    elif mining == "random":
+        train_step = make_siamese_train_step(model, optimizer)
+    else:
+        raise ValueError(f"unknown mining mode {mining!r}")
 
     ckptr = ocp.PyTreeCheckpointer()
     loader = EpisodicBatchLoader(
@@ -239,8 +309,16 @@ def train_siamese(cfg: Dict[str, Any], ds, progress: bool = True):
     for ep in epoch_iter:
         loader.set_epoch(ep)
         for batch in loader:
-            x1, x2, y = _siamese_pairs(batch, pair_rng)
-            variables, opt_state, metrics = train_step(variables, opt_state, x1, x2, y)
+            if mining == "batch_hard":
+                pool = np.concatenate(
+                    [batch["real_sample"], batch["si_sample"],
+                     batch["leaked_sample"]], axis=1)
+                variables, opt_state, metrics = train_step(
+                    variables, opt_state, pool)
+            else:
+                x1, x2, y = _siamese_pairs(batch, pair_rng)
+                variables, opt_state, metrics = train_step(
+                    variables, opt_state, x1, x2, y)
             step += 1
             if step % cfg.get("save_every", 1000) == 0:
                 _save_siamese(ckptr, cfg["outdir"], step, variables)

@@ -50,6 +50,38 @@ def test_train_siamese_and_eval_adapter(tmp_path, mini_ds_root):
     assert out.shape == (2,) and pred.shape == (2,)
 
 
+def test_siamese_batchhard_learns(tmp_path, tmp_path_factory):
+    """Batch-hard mining learns a separable synthetic task (class = distinct
+    base image + noise) — guards the on-device mining logic end-to-end."""
+    root = tmp_path_factory.mktemp("bh_ds")
+    rng = np.random.default_rng(0)
+    for c in range(4):
+        d = root / "train" / "A0" / f"c{c}"
+        d.mkdir(parents=True)
+        base = rng.integers(0, 255, (16, 16)).astype(np.float64)
+        for i in range(8):
+            arr = np.clip(base + rng.normal(0, 20, (16, 16)), 0, 255)
+            Image.fromarray(arr.astype(np.uint8)).save(str(d / f"{i:03d}.jpg"))
+    ds = OmniglotGIMDataSet(str(root), "train", img_channels=1, img_size=16,
+                            m=1, n=3, si=2, example_cnt_per_class=4)
+    cfg = dict(outdir=str(tmp_path / "bh"), img_size=16, img_channels=1,
+               lr=1e-3, batch_size=4, n_epochs=8, save_every=10_000, seed=1)
+    variables, metrics = train_siamese(cfg, ds, progress=False)
+    assert np.isfinite(float(metrics["loss"]))
+    # acc is measured on the MINED hardest pairs — the toughest in-batch metric
+    assert float(metrics["acc"]) >= 0.6
+
+
+def test_siamese_random_recipe_still_works(tmp_path, mini_ds_root):
+    ds = OmniglotGIMDataSet(mini_ds_root, "train", img_channels=1, img_size=16,
+                            m=1, n=3, si=2, example_cnt_per_class=2)
+    cfg = dict(outdir=str(tmp_path / "siam_rnd"), img_size=16, img_channels=1,
+               lr=1e-3, batch_size=4, n_epochs=1, save_every=100, seed=1,
+               mining="random")
+    variables, metrics = train_siamese(cfg, ds, progress=False)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_train_arcface_and_eval_adapter(tmp_path, mini_ds_root):
     ds = ArcfaceDataSet(mini_ds_root + "/train", "A0", img_channels=1, img_size=32,
                         example_cnt_per_class=4, img_suffix=".jpg")

@@ -24,6 +24,10 @@ def get_args():
     parser.add_argument("--num_workers", type=int, default=0)
     parser.add_argument("--save_every", type=int, default=1000)
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--mining", default="batch_hard",
+                        choices=["batch_hard", "random"],
+                        help="pair recipe: on-device batch-hard mining "
+                             "(default) or the random-pair recipe")
     return parser.parse_args()
 
 
