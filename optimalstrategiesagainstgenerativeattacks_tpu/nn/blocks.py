@@ -127,7 +127,9 @@ class Conv(nn.Module):
         if self.use_bias:
             bias_init = self.bias_init or torch_bias_init(in_ch * ks * ks)
             bias = self.param("bias", bias_init, (self.features,), jnp.float32)
-            y = y + bias
+            # add in the compute dtype: an f32 bias would promote (and
+            # materialise) the whole conv output in f32 — 2x HBM traffic
+            y = y + bias.astype(y.dtype)
         return y.astype(self.dtype) if self.dtype is not None else y
 
 
@@ -145,6 +147,20 @@ def _fold_kernel_for_upscale2(kernel):
     """
     kp = jnp.pad(kernel, ((1, 1), (1, 1), (0, 0), (0, 0)))
     return kp[:-1, :-1] + kp[1:, :-1] + kp[:-1, 1:] + kp[1:, 1:]
+
+
+def _fold_kernel_for_downscale2(kernel):
+    """HWIO kernel K -> K' with avg_pool2(conv(x, K)) == stride-2 conv(x, K').
+
+    2x2 average pooling of the conv output averages four neighbouring conv
+    windows, so the composition folds into one stride-2 convolution with
+    K' = (K (*) ones(2, 2)) / 4 (size (kh+1, kw+1)) and padding
+    (p, kh - p).  Exact algebra — it removes the full-resolution conv
+    output entirely: 2.25x fewer conv FLOPs at 3x3, 3.24x at the img2img
+    9x9 blocks, forward and backward.
+    """
+    kp = jnp.pad(kernel, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    return (kp[:-1, :-1] + kp[1:, :-1] + kp[:-1, 1:] + kp[1:, 1:]) * 0.25
 
 
 class SNConv(nn.Module):
@@ -170,6 +186,11 @@ class SNConv(nn.Module):
     # folded into the conv via _fold_kernel_for_upscale2 (exact), so callers
     # pass the LOW-resolution tensor and get the high-resolution output
     upscale: int = 1
+    # 2 = produce a (virtual) avg-pool-2x2'd output: the pooling is folded
+    # into the conv via _fold_kernel_for_downscale2 (exact), so callers get
+    # the HALF-resolution tensor without the full-resolution conv ever
+    # materialising
+    downscale: int = 1
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
@@ -229,12 +250,31 @@ class SNConv(nn.Module):
                 lhs_dilation=(2, 2),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+        elif self.downscale == 2:
+            assert self.stride == 1 and self.upscale == 1
+            kf = _fold_kernel_for_downscale2(kernel_sn)
+            h = x
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
+                kf = kf.astype(self.dtype)
+            else:
+                h = h.astype(kf.dtype)
+            p = self.padding
+            y = lax.conv_general_dilated(
+                h,
+                kf,
+                window_strides=(2, 2),
+                padding=((p, ks - p), (p, ks - p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         else:
             y = _conv2d(x, kernel_sn, self.stride, self.padding, self.dtype)
         if self.use_bias:
             bias_init = self.bias_init or torch_bias_init(fan)
             bias = self.param("bias", bias_init, (self.features,), jnp.float32)
-            y = y + bias
+            # add in the compute dtype: an f32 bias would promote (and
+            # materialise) the whole conv output in f32 — 2x HBM traffic
+            y = y + bias.astype(y.dtype)
         return y.astype(self.dtype) if self.dtype is not None else y
 
 
@@ -613,10 +653,14 @@ class ResBlockDown(nn.Module):
             self.out_channels, self.conv_size, padding=self.padding, dtype=self.dtype, name="conv_r1"
         )(out, update_sn)
         out = leaky_relu(out)
+        # the trailing avg-pool is folded into conv_r2 as a stride-2 conv
+        # (exact; see _fold_kernel_for_downscale2) — the full-resolution
+        # conv output never materialises (torch order: conv then pool,
+        # ``model_blocks.py:507-510``)
         out = SNConv(
-            self.out_channels, self.conv_size, padding=self.padding, dtype=self.dtype, name="conv_r2"
+            self.out_channels, self.conv_size, padding=self.padding, dtype=self.dtype,
+            downscale=2, name="conv_r2"
         )(out, update_sn)
-        out = avg_pool2d(out)
         return res + out
 
 

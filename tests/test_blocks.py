@@ -224,6 +224,22 @@ def test_snconv_folded_upscale_matches_explicit(rng):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_snconv_folded_downscale_matches_explicit(rng):
+    """SNConv(downscale=2) == avg_pool2d(SNConv(x)) exactly (algebraic fold of
+    2x2 average pooling into a stride-2 conv; blocks._fold_kernel_for_downscale2)."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.ops.image_ops import avg_pool2d
+
+    for ks, pad in ((3, 1), (9, 4)):
+        m_ref = blocks.SNConv(features=6, kernel_size=ks, padding=pad)
+        m_fold = blocks.SNConv(features=6, kernel_size=ks, padding=pad, downscale=2)
+        x = jax.random.normal(jax.random.fold_in(rng, 100 + ks), (2, 12, 12, 4))
+        v = m_ref.init(rng, x)  # same param shapes for both modules
+        ref = avg_pool2d(m_ref.apply(v, x, False))
+        out = m_fold.apply(v, x, False)
+        assert out.shape == ref.shape == (2, 6, 6, 6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_pool_conv_commutation_exact(rng):
     """1x1 conv commutes with avg-pool / nearest-upsample (the ResBlock skip
     reordering): conv(pool(x)) == pool(conv(x)) and up(conv(x)) == conv(up(x))."""
