@@ -116,7 +116,7 @@ def main():
     # absolute yardsticks alongside the torch-CPU provenance ratio:
     # FLOPs/step from `scripts/perf_step.py --flops-cpu` (XLA cost analysis
     # of both split-step phases at this exact config); v5e bf16 peak 197e12
-    TFLOPS_PER_STEP = 27.619
+    TFLOPS_PER_STEP = 14.592
     print(
         json.dumps(
             {
