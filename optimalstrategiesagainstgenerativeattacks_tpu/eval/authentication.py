@@ -377,6 +377,11 @@ def get_args():
 
 
 def main(args=None):
+    from optimalstrategiesagainstgenerativeattacks_tpu.utils.runtime import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     args = args or get_args()
     ds = get_dataset(
         dataset_root=args.ds_root, split=args.split, dataset_type=args.dataset_type,
