@@ -687,20 +687,11 @@ class SelfAttention(nn.Module):
         f = f.reshape(b, n, cq)
         g = g.reshape(b, n, cq)
         hproj = hproj.reshape(b, n, c)
-        from optimalstrategiesagainstgenerativeattacks_tpu.ops.adain import use_pallas
-
-        if use_pallas():
-            from optimalstrategiesagainstgenerativeattacks_tpu.ops.pallas.attention_pallas import (
-                self_attention_pallas,
-            )
-
-            out = self_attention_pallas(f, g, hproj)
-        else:
-            # A[b, i, j] = f_i . g_j ; softmax over i
-            attn = jnp.einsum("bic,bjc->bij", f, g, preferred_element_type=jnp.float32)
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=1)
-            attn = attn.astype(hproj.dtype)
-            out = jnp.einsum("bic,bij->bjc", hproj, attn, preferred_element_type=jnp.float32)
+        # A[b, i, j] = f_i . g_j ; softmax over i
+        attn = jnp.einsum("bic,bjc->bij", f, g, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=1)
+        attn = attn.astype(hproj.dtype)
+        out = jnp.einsum("bic,bij->bjc", hproj, attn, preferred_element_type=jnp.float32)
         out = out.reshape(b, h, w, c).astype(x.dtype)
         gamma = self.param("gamma", zeros_init, (1,), jnp.float32)
         return gamma * out + x

@@ -10,32 +10,20 @@ quirks of the reference are preserved exactly:
     estimator with eps added to the variance.
 
 Both are single-pass channel reductions over H*W followed by an affine —
-ideal fusion targets.  XLA already fuses these chains well; a hand-fused
-Pallas kernel is provided in ``ops/pallas/adain_pallas.py`` for the hot
-generator path and is dispatched via ``ada_in(..., use_pallas=...)``.
+ideal fusion targets, and XLA's own fusions already run them at the HBM
+roofline.  Hand-fused Pallas kernels for AdaIN and the attention core were
+built and measured in rounds 1-2 and RETIRED: with honest value-fetch sync
+the Pallas variant was *slower* end-to-end (72.6 vs 62.5 ms/step at
+style 128), the profiled stat bucket the kernels targeted shrank to
+~14 ms/step once the convert/reduce chains fused (see STATUS.md), and the
+Pallas custom-calls inflated the flagship module enough to OOM this
+platform's remote compile server.  The git history (tag: pre-Pallas-retire
+state at commit 79a0a33) retains the kernels and their parity tests.
 """
 
 from __future__ import annotations
 
-import os
-
-import jax
 import jax.numpy as jnp
-
-# Pallas dispatch: fused AdaIN kernel on TPU when enabled (see
-# ops/pallas/adain_pallas.py).  Off by default until flipped per-run;
-# OSGA_USE_PALLAS=1 or set_use_pallas(True) enables it.
-_USE_PALLAS = os.environ.get("OSGA_USE_PALLAS", "0") == "1"
-_TPU_BACKENDS = ("tpu", "axon")
-
-
-def set_use_pallas(enabled: bool) -> None:
-    global _USE_PALLAS
-    _USE_PALLAS = enabled
-
-
-def use_pallas() -> bool:
-    return _USE_PALLAS and jax.default_backend() in _TPU_BACKENDS
 
 
 def ada_in(
@@ -53,17 +41,6 @@ def ada_in(
     Returns:
       [B, H, W, C] re-normalised feature.
     """
-    if use_pallas():
-        from optimalstrategiesagainstgenerativeattacks_tpu.ops.pallas.adain_pallas import (
-            ada_in_pallas,
-        )
-
-        return ada_in_pallas(
-            feature,
-            mean_style.astype(jnp.float32),
-            std_style.astype(jnp.float32),
-            eps,
-        )
     b, h, w, c = feature.shape
     n = h * w
     f32 = feature.astype(jnp.float32)
