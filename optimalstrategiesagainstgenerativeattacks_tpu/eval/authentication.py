@@ -266,8 +266,16 @@ def eval_game_for_pair(
     ds, batch_size: int, num_workers: int = 0,
     ckpt_dir: str = "ckpts", specific_model=None,
 ):
-    """(acc, acc_on_fake, acc_on_real, auc) for one au/im pairing (:155-179)."""
-    au_ckpt_path, au_args_dict = get_exp_args_from_dir(au_outdir, ckpt_dir, specific_model)
+    """(acc, acc_on_fake, acc_on_real, auc) for one au/im pairing (:155-179).
+
+    ``specific_model`` names a checkpoint of the *GIM* experiment; when the
+    authenticator is a baseline its own directory will not contain that
+    filename, so the baseline falls back to its latest checkpoint (the
+    reference applies specific_model to both dirs and would crash there,
+    ``eval_gim_on_authentication.py:163-164``).
+    """
+    au_specific = specific_model if au_outdir == im_outdir else None
+    au_ckpt_path, au_args_dict = get_exp_args_from_dir(au_outdir, ckpt_dir, au_specific)
     im_ckpt_path, im_args_dict = get_exp_args_from_dir(im_outdir, ckpt_dir, specific_model)
     au_agent = get_authenticator(au_type, au_ckpt_path, au_args_dict)
     im_agent = get_impersonator(im_type, im_ckpt_path, ds, im_args_dict)
