@@ -197,3 +197,38 @@ def test_end_to_end_authentication_task(tmp_path):
     assert df["auc"].between(0, 1).all()
     loaded = pd.read_csv(csv_path, index_col=0)
     assert len(loaded) == 3
+
+    # --specific_model names a GIM checkpoint; a baseline authenticator in
+    # the grid must fall back to its own latest checkpoint instead of
+    # looking the GIM filename up in the baseline dir (the reference
+    # crashes there, eval_gim_on_authentication.py:163-164)
+    from optimalstrategiesagainstgenerativeattacks_tpu.baselines.training import (
+        train_siamese,
+    )
+
+    ds_train_root = tmp_path / "ds2"
+    for a in range(2):
+        for c in range(2):
+            d = ds_train_root / "train" / f"A{a}" / f"c{c}"
+            d.mkdir(parents=True)
+            for i in range(8):
+                arr = rng.integers(0, 255, (16, 16), dtype=np.uint8)
+                Image.fromarray(arr).save(str(d / f"{i:03d}.png"))
+    siam_ds = OmniglotGIMDataSet(str(ds_train_root), "train", img_channels=1,
+                                 img_size=16, m=1, n=2, si=2,
+                                 example_cnt_per_class=2)
+    siam_dir = tmp_path / "siam"
+    train_siamese(
+        dict(outdir=str(siam_dir), img_size=16, img_channels=1, lr=1e-3,
+             batch_size=4, n_epochs=1, save_every=100, seed=1),
+        siam_ds, progress=False,
+    )
+    gim_ckpt_name = sorted(os.listdir(outdir / "ckpts"))[-1]
+    df2 = eval_authentication_task(
+        ds=ds, m=1, n=2, k=2, batch_size=2, num_workers=0,
+        gim_exp_dir=str(outdir), csv_file_path=str(tmp_path / "r2.csv"),
+        specific_model=gim_ckpt_name,
+        baseline_type="siamese", baseline_exp_dir=str(siam_dir),
+    )
+    assert len(df2) == 6
+    assert set(df2["au_type"]) == {"gim", "siamese"}
