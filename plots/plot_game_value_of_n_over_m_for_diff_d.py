@@ -6,6 +6,11 @@ Parity with ``plots/plot_game_value_of_n_over_m_for_diff_d.py``; adds an
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import matplotlib as mpl
 import matplotlib.pyplot as plt

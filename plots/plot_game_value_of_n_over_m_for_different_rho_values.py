@@ -7,6 +7,11 @@ renamed sanely here).  Adds ``--out`` for headless saving.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import matplotlib as mpl
 import matplotlib.pyplot as plt

@@ -6,6 +6,11 @@ grid (the reference double-loops over a 1000x1000 grid) and adds ``--out``.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import matplotlib as mpl
 import matplotlib.pyplot as plt
