@@ -36,6 +36,64 @@ def load_baseline() -> float:
         return DEFAULT_BASELINE_STEPS_PER_SEC
 
 
+# Fallback only (tagged in the JSON as "constant_fallback"): the measured
+# value for the flagship config as of round 2.  The real number is derived
+# below from XLA cost analysis so model changes can't silently stale it.
+FALLBACK_TFLOPS_PER_STEP = 14.592
+
+
+def derive_tflops_per_step(cfg) -> tuple:
+    """(tflops_per_step, provenance). Traces both split-step phases on a CPU
+    backend subprocess (``scripts/perf_step.py --flops-cpu`` — the axon
+    backend's lowered cost analysis returns nothing) and caches the result
+    keyed on the config plus a hash of the model/step/op sources."""
+    import hashlib
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(repo, "optimalstrategiesagainstgenerativeattacks_tpu")
+    h = hashlib.sha256()
+    for rel in (
+        "models/image.py", "train/image.py", "train/losses.py",
+        "nn/blocks.py", "nn/stats.py",
+        "ops/spectral.py", "ops/stats.py", "ops/image_ops.py",
+    ):
+        with open(os.path.join(pkg, rel), "rb") as f:
+            h.update(f.read())
+    key = (
+        f"B{cfg.batch_size}_img{cfg.img_size}x{cfg.img_channels}"
+        f"_style{cfg.style_dim}_m{cfg.m}n{cfg.n}k{cfg.k}_reg{cfg.reg_param}"
+        f"_src{h.hexdigest()[:12]}"
+    )
+    cache_path = os.path.join(repo, ".bench_flops_cache.json")
+    try:
+        with open(cache_path) as f:
+            cache = json.load(f)
+    except Exception:
+        cache = {}
+    if key in cache:
+        return float(cache[key]), "xla_cost_analysis"
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "scripts", "perf_step.py"),
+                "--flops-cpu", "--batch", str(cfg.batch_size),
+                "--img", str(cfg.img_size), "--channels", str(cfg.img_channels),
+                "--style", str(cfg.style_dim), "--m", str(cfg.m),
+                "--n", str(cfg.n), "--k", str(cfg.k), "--reg", str(cfg.reg_param),
+            ],
+            capture_output=True, text=True, timeout=1200,
+        )
+        tflops = json.loads(proc.stdout.strip().splitlines()[-1])["tflops_per_step"]
+        cache[key] = tflops
+        with open(cache_path, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+        return float(tflops), "xla_cost_analysis"
+    except Exception:
+        return FALLBACK_TFLOPS_PER_STEP, "constant_fallback"
+
+
 def main():
     from optimalstrategiesagainstgenerativeattacks_tpu.utils.runtime import (
         enable_compile_cache,
@@ -113,10 +171,11 @@ def main():
     float(metrics["au_loss"])
     steps_per_sec = n_steps / (time.perf_counter() - t0)
     baseline = load_baseline()
-    # absolute yardsticks alongside the torch-CPU provenance ratio:
-    # FLOPs/step from `scripts/perf_step.py --flops-cpu` (XLA cost analysis
-    # of both split-step phases at this exact config); v5e bf16 peak 197e12
-    TFLOPS_PER_STEP = 14.592
+    # absolute yardsticks alongside the torch-CPU provenance ratio: FLOPs
+    # per step derived from XLA cost analysis of both split-step phases at
+    # this exact config (cached on a source+config hash); v5e bf16 peak
+    # 197e12 (public spec)
+    tflops_per_step, flops_provenance = derive_tflops_per_step(cfg)
     print(
         json.dumps(
             {
@@ -128,9 +187,10 @@ def main():
                 "images_per_sec": round(
                     steps_per_sec * cfg.batch_size * (cfg.m + cfg.n + cfg.k), 0
                 ),
-                "tflops_per_step": TFLOPS_PER_STEP,
+                "tflops_per_step": tflops_per_step,
+                "tflops_provenance": flops_provenance,
                 "mfu_vs_v5e_bf16_peak": round(
-                    TFLOPS_PER_STEP * 1e12 * steps_per_sec / 197e12, 3
+                    tflops_per_step * 1e12 * steps_per_sec / 197e12, 3
                 ),
             }
         )

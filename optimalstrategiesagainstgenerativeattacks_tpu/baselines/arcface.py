@@ -7,9 +7,10 @@ head, additive-angular-margin head (s=64, m=0.5, :170-208), and
 ``predict(x1, x2)`` = -||emb1 - emb2||^2 vs threshold (:231-237).
 
 TPU notes: NHWC; BatchNorm is flax ``nn.BatchNorm`` with batch stats in
-the ``batch_stats`` collection — pass ``axis_name='data'`` at construction
-for cross-replica stat sync under a mesh (the only cross-replica statistic
-in the project, SURVEY §7).  PReLU carries a learnable per-channel slope.
+the ``batch_stats`` collection — construct ``Backbone(bn_axis_name='data')``
+for cross-replica stat sync when the backbone runs inside a mapped context
+(shard_map/pmap) with that axis (the only cross-replica statistic in the
+project, SURVEY §7); the default (None) computes per-shard stats.  PReLU carries a learnable per-channel slope.
 The reference ships no training script for these; this framework adds one
 (``train_arcface_baseline.py``).
 """
@@ -68,13 +69,14 @@ class BottleneckIR(nn.Module):
     stride: int
     use_se: bool = False
     dtype: Optional[Dtype] = None
+    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         in_ch = x.shape[-1]
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, axis_name=None, name=name,
+            dtype=self.dtype, axis_name=self.bn_axis_name, name=name,
         )
         if in_ch == self.depth:
             shortcut = x if self.stride == 1 else max_pool2d(x, 1, self.stride)
@@ -124,6 +126,10 @@ class Backbone(nn.Module):
     img_channels: int = 3
     emb_dim: int = 512
     dtype: Optional[Dtype] = None
+    # set to a mapped axis name (e.g. 'data' under shard_map/pmap) for
+    # cross-replica batch-stat sync — the only cross-replica statistic in
+    # the project (SURVEY §7)
+    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -139,22 +145,26 @@ class Backbone(nn.Module):
         h = nn.Conv(64, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
                     name="input_conv")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.dtype, name="input_bn")(h)
+                         dtype=self.dtype, axis_name=self.bn_axis_name,
+                         name="input_bn")(h)
         h = PReLU(name="input_prelu")(h)
 
         for bi, block in enumerate(get_blocks(self.num_layers)):
             for ui, (depth, stride) in enumerate(block):
                 h = BottleneckIR(depth=depth, stride=stride, use_se=use_se,
-                                 dtype=self.dtype, name=f"block{bi}_unit{ui}")(h, train)
+                                 dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                                 name=f"block{bi}_unit{ui}")(h, train)
 
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.dtype, name="out_bn")(h)
+                         dtype=self.dtype, axis_name=self.bn_axis_name,
+                         name="out_bn")(h)
         h = nn.Dropout(self.drop_ratio, deterministic=not train)(h)
         h = h.reshape(h.shape[0], -1)
         assert h.shape[-1] == 512 * last_img_size * last_img_size
         h = nn.Dense(self.emb_dim, name="out_dense")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         use_scale=True, use_bias=True, name="out_bn1d")(h)
+                         use_scale=True, use_bias=True,
+                         axis_name=self.bn_axis_name, name="out_bn1d")(h)
         return l2_norm(h.astype(jnp.float32))
 
 

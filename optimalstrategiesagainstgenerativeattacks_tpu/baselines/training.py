@@ -189,6 +189,13 @@ def make_siamese_batchhard_step(model, optimizer):
     @jax.jit
     def train_step(variables, opt_state, pool):
         b, s = pool.shape[:2]
+        if b < 2:
+            # with a single episode the ~same mask is all False and argmax
+            # over -inf picks index 0 — a same-episode pair trained as a
+            # negative.  Mining needs cross-episode candidates.
+            raise ValueError(
+                "batch-hard mining needs batch_size >= 2 episodes per step"
+            )
         n = b * s
         imgs = normalize_uint8(pool).reshape((n,) + pool.shape[2:])
         episode = jnp.repeat(jnp.arange(b), s)

@@ -144,7 +144,7 @@ def _restore_gim_state(ckpt_path: str, args_dict: dict):
     im = imodels.get_im(
         cfg.img_size, cfg.img_channels, cfg.style_dim,
         use_img_att=cfg.use_img_att, num_env_noise_layers=cfg.num_env_noise_layers,
-        dtype=dtype,
+        dtype=dtype, scan_adain_blocks=cfg.scan_adain_blocks,
     )
     template, _, _, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
     cio = CheckpointIO(os.path.dirname(ckpt_path))
@@ -269,12 +269,24 @@ def eval_game_for_pair(
     """(acc, acc_on_fake, acc_on_real, auc) for one au/im pairing (:155-179).
 
     ``specific_model`` names a checkpoint of the *GIM* experiment; when the
-    authenticator is a baseline its own directory will not contain that
-    filename, so the baseline falls back to its latest checkpoint (the
-    reference applies specific_model to both dirs and would crash there,
-    ``eval_gim_on_authentication.py:163-164``).
+    authenticator lives in a different directory (e.g. a baseline) that may
+    not contain the filename, so we fall back to that directory's latest
+    checkpoint — but only when the named file really is absent, so a
+    cross-directory GIM-vs-GIM pairing still honours ``specific_model``
+    (the reference applies specific_model to both dirs and would crash on
+    baselines, ``eval_gim_on_authentication.py:163-164``).
     """
-    au_specific = specific_model if au_outdir == im_outdir else None
+    au_specific = specific_model
+    if (
+        specific_model is not None
+        and au_outdir != im_outdir
+        and not os.path.exists(os.path.join(au_outdir, ckpt_dir, specific_model))
+    ):
+        print(
+            f"warning: {specific_model!r} not found under {au_outdir}/{ckpt_dir}; "
+            "falling back to the latest checkpoint for the authenticator"
+        )
+        au_specific = None
     au_ckpt_path, au_args_dict = get_exp_args_from_dir(au_outdir, ckpt_dir, au_specific)
     im_ckpt_path, im_args_dict = get_exp_args_from_dir(im_outdir, ckpt_dir, specific_model)
     au_agent = get_authenticator(au_type, au_ckpt_path, au_args_dict)

@@ -273,26 +273,26 @@ def train_gim_gaussian(cfg: GaussianGameConfig, au=None, im=None, logger=None, m
         host = {k: list(map(float, v)) for k, v in jax.device_get(metrics).items()}
         for i in range(chunk):
             gs = first_step + i
-            logger.add_scalar("train losses", "im loss", host["im_loss"][i], gs)
-            logger.add_scalar("train losses", "au loss", host["au_loss"][i], gs)
-            logger.add_scalar("train losses", "au loss on real", host["au_loss_on_real"][i], gs)
-            logger.add_scalar("train losses", "au loss on fake", host["au_loss_on_fake"][i], gs)
-            logger.add_scalar("train losses", "au reg", host["au_reg"][i], gs)
-            logger.add_scalar("train au out", "au out on real", host["au_out_on_real"][i], gs)
-            logger.add_scalar("train au out", "au out on fake", host["au_out_on_fake"][i], gs)
-            logger.add_scalar("train accuracy", "au acc", host["au_acc"][i], gs)
-            logger.add_scalar("train accuracy", "au acc on real", host["au_acc_on_real"][i], gs)
-            logger.add_scalar("train accuracy", "au acc on fake", host["au_acc_on_fake"][i], gs)
+            logger.add_scalar("train_losses", "im_loss", host["im_loss"][i], gs)
+            logger.add_scalar("train_losses", "au_loss", host["au_loss"][i], gs)
+            logger.add_scalar("train_losses", "au_loss_on_real", host["au_loss_on_real"][i], gs)
+            logger.add_scalar("train_losses", "au_loss_on_fake", host["au_loss_on_fake"][i], gs)
+            logger.add_scalar("train_losses", "au_reg", host["au_reg"][i], gs)
+            logger.add_scalar("train_au_out", "au_out_on_real", host["au_out_on_real"][i], gs)
+            logger.add_scalar("train_au_out", "au_out_on_fake", host["au_out_on_fake"][i], gs)
+            logger.add_scalar("train_accuracy", "au_acc", host["au_acc"][i], gs)
+            logger.add_scalar("train_accuracy", "au_acc_on_real", host["au_acc_on_real"][i], gs)
+            logger.add_scalar("train_accuracy", "au_acc_on_fake", host["au_acc_on_fake"][i], gs)
             if gs % cfg.save_stats_every == 0:
-                logger.add_scalar("im distances", "l1_dist_from_leaked_sample_mean",
+                logger.add_scalar("im_distances", "l1_dist_from_leaked_sample_mean",
                                   host["im_l1_dist_from_leaked_sample_mean"][i], gs)
-                logger.add_scalar("im distances", "l1_dist_from_gt_sample_mean",
+                logger.add_scalar("im_distances", "l1_dist_from_gt_sample_mean",
                                   host["im_l1_dist_from_gt_sample_mean"][i], gs)
-                logger.add_scalar("im distances", "l1_dist_from_gt_std",
+                logger.add_scalar("im_distances", "l1_dist_from_gt_std",
                                   host["im_l1_dist_from_gt_std"][i], gs)
-                logger.add_scalar("real distances", "l1_dist_from_gt_sample_mean",
+                logger.add_scalar("real_distances", "l1_dist_from_gt_sample_mean",
                                   host["real_l1_dist_from_gt_sample_mean"][i], gs)
-                logger.add_scalar("real distances", "l1_dist_from_gt_std",
+                logger.add_scalar("real_distances", "l1_dist_from_gt_std",
                                   host["real_l1_dist_from_gt_std"][i], gs)
 
     iterator = range(n_chunks)

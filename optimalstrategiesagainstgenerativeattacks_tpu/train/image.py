@@ -620,15 +620,18 @@ def run_eval(eval_step, state, ds, logger, batch_size, rng, num_workers=0):
         return {}
     means = {k: v / count for k, v in sums.items()}
     gs = int(state.step)
-    logger.add_scalar("eval losses", "dis loss", means["au_loss"], gs)
-    logger.add_scalar("eval losses", "dis loss on real", means["au_loss_on_real"], gs)
-    logger.add_scalar("eval losses", "dis loss on fake", means["au_loss_on_fake"], gs)
-    logger.add_scalar("eval au out", "au out on real", means["au_out_on_real"], gs)
-    logger.add_scalar("eval au out", "au out on fake", means["au_out_on_fake"], gs)
-    logger.add_scalar("eval accuracy", "dis acc", means["au_acc"], gs)
-    logger.add_scalar("eval accuracy", "dis acc on real", means["au_acc_on_real"], gs)
-    logger.add_scalar("eval accuracy", "dis acc on fake", means["au_acc_on_fake"], gs)
-    logger.add_scalar("eval losses", "gen loss", means["im_loss"], gs)
+    # one tag convention everywhere: category/key, underscores (the
+    # reference mixes 'train_losses' with 'train losses'; we normalise,
+    # SURVEY §5, locked by tests/test_logger.py::test_scalar_tag_taxonomy)
+    logger.add_scalar("eval_losses", "dis_loss", means["au_loss"], gs)
+    logger.add_scalar("eval_losses", "dis_loss_on_real", means["au_loss_on_real"], gs)
+    logger.add_scalar("eval_losses", "dis_loss_on_fake", means["au_loss_on_fake"], gs)
+    logger.add_scalar("eval_au_out", "au_out_on_real", means["au_out_on_real"], gs)
+    logger.add_scalar("eval_au_out", "au_out_on_fake", means["au_out_on_fake"], gs)
+    logger.add_scalar("eval_accuracy", "dis_acc", means["au_acc"], gs)
+    logger.add_scalar("eval_accuracy", "dis_acc_on_real", means["au_acc_on_real"], gs)
+    logger.add_scalar("eval_accuracy", "dis_acc_on_fake", means["au_acc_on_fake"], gs)
+    logger.add_scalar("eval_losses", "gen_loss", means["im_loss"], gs)
     return means
 
 
@@ -851,18 +854,23 @@ def train_gim_imgs(
                              jax.random.fold_in(sample_rng, gs))
 
     # interrupt/permission handling parity (``train_gim_imgs:432-447``):
-    # KeyboardInterrupt -> save + stop; PermissionError -> save + continue
+    # KeyboardInterrupt -> save + stop; PermissionError -> save + continue.
+    # Every save records the true epoch position so a resume replays the
+    # data schedule from the right epoch (not epoch 0).
+    cur_epoch = last_epoch
     try:
         for ep in epoch_iter:
+            cur_epoch = ep
             try:
                 run_epoch(ep)
             except PermissionError as pe:
                 print(f"\nPermissionError\n{pe}\nSaving checkpoint...\n")
                 checkpoint_io.save(state, int(state.step), last_epoch=ep)
                 continue
+        cur_epoch = cfg.n_epochs
     except KeyboardInterrupt:
         print("\nKeyboardInterrupt\nSaving checkpoint...\n")
-        checkpoint_io.save(state, int(state.step), last_epoch=0)
+        checkpoint_io.save(state, int(state.step), last_epoch=cur_epoch)
         return state
-    checkpoint_io.save(state, int(state.step), last_epoch=0)
+    checkpoint_io.save(state, int(state.step), last_epoch=cur_epoch)
     return state

@@ -14,7 +14,9 @@ from tensorboard.backend.event_processing.event_accumulator import EventAccumula
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("tb_dir")
-    p.add_argument("--tag", default="train accuracy/au acc")
+    # tensorboardX sanitises spaces to underscores, so this reads both the
+    # torch reference's logs and ours (underscores everywhere, SURVEY §5)
+    p.add_argument("--tag", default="train_accuracy/au_acc")
     p.add_argument("--window", type=int, default=5000)
     p.add_argument("--list_tags", action="store_true")
     args = p.parse_args()
