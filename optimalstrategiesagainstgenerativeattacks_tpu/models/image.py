@@ -188,12 +188,13 @@ class _AdaResScanBody(nn.Module):
     channels: int
     style_dim: int
     dtype: Optional[Dtype] = None
+    im2col_convs: bool = False
 
     @nn.compact
     def __call__(self, x, style, update_sn: bool = False):
         y = AdaResBlock2(
             channels=self.channels, style_dim=self.style_dim, dtype=self.dtype,
-            name="block",
+            im2col_convs=self.im2col_convs, name="block",
         )(x, style, update_sn)
         return y, None
 
@@ -212,6 +213,7 @@ class Img2ImgAdaInResModule(nn.Module):
     n_blocks: int = 5
     dtype: Optional[Dtype] = None
     scan_blocks: bool = True
+    im2col_convs: bool = False
 
     @nn.compact
     def __call__(self, x, style, update_sn: bool = False):
@@ -225,13 +227,13 @@ class Img2ImgAdaInResModule(nn.Module):
             )
             x, _ = scan(
                 channels=self.style_dim, style_dim=self.style_dim, dtype=self.dtype,
-                name="res_scan",
+                im2col_convs=self.im2col_convs, name="res_scan",
             )(x, style, update_sn)
             return x
         for i in range(self.n_blocks):
             x = AdaResBlock2(
                 channels=self.style_dim, style_dim=self.style_dim, dtype=self.dtype,
-                name=f"res_{i}",
+                im2col_convs=self.im2col_convs, name=f"res_{i}",
             )(x, style, update_sn)
         return x
 
@@ -287,6 +289,7 @@ class AdaInImage2Image(nn.Module):
     min_n_channels: int = 64
     dtype: Optional[Dtype] = None
     scan_adain_blocks: bool = True
+    adain_im2col: bool = False
 
     def setup(self):
         self.down_block = Img2ImgDownModule(
@@ -299,6 +302,7 @@ class AdaInImage2Image(nn.Module):
         self.adain_res_block = Img2ImgAdaInResModule(
             style_dim=self.style_dim, n_blocks=self.n_adain_res_blocks,
             dtype=self.dtype, scan_blocks=self.scan_adain_blocks,
+            im2col_convs=self.adain_im2col,
         )
         self.adain_up_block = Img2ImgAdaInUpModule(
             img_size=self.img_size,
@@ -498,6 +502,7 @@ def get_im(
     num_env_noise_layers: int = 4,
     dtype: Optional[Dtype] = None,
     scan_adain_blocks: bool = True,
+    adain_im2col: bool = False,
 ) -> GIMFaceImpersonator:
     """Factory matching ``gim_img_models.get_im:429-449``."""
     encoders = EncoderPair(
@@ -513,6 +518,7 @@ def get_im(
         style_dim=style_dim,
         dtype=dtype,
         scan_adain_blocks=scan_adain_blocks,
+        adain_im2col=adain_im2col,
     )
     env_noise_mapper = MLP(
         [style_dim for _ in range(num_env_noise_layers + 1)], dtype=dtype

@@ -191,6 +191,12 @@ class SNConv(nn.Module):
     # the HALF-resolution tensor without the full-resolution conv ever
     # materialising
     downscale: int = 1
+    # lower the conv as pad -> 9-shifted-slice concat -> one dense matmul
+    # instead of lax.conv: on tiny spatial maps (the 4x4x512 AdaIN res
+    # stage) the conv underfills the 8-sublane tiling (~37% MFU) while the
+    # equivalent [B*H*W, ks*ks*C] @ [ks*ks*C, O] matmul has no padding
+    # waste.  Same params/variables; stride/up/downscale must be 1.
+    im2col: bool = False
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
@@ -266,6 +272,29 @@ class SNConv(nn.Module):
                 window_strides=(2, 2),
                 padding=((p, ks - p), (p, ks - p)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        elif self.im2col:
+            assert self.stride == 1
+            h = x
+            kf = kernel_sn
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
+                kf = kf.astype(self.dtype)
+            p = self.padding
+            xp = jnp.pad(h, ((0, 0), (p, p), (p, p), (0, 0)))
+            ho = x.shape[1] + 2 * p - ks + 1
+            wo = x.shape[2] + 2 * p - ks + 1
+            # concat order (dy, dx, channel) == HWIO kernel reshape order
+            cols = jnp.concatenate(
+                [
+                    xp[:, dy : dy + ho, dx : dx + wo, :]
+                    for dy in range(ks)
+                    for dx in range(ks)
+                ],
+                axis=-1,
+            )
+            y = (cols.reshape(-1, fan) @ kf.reshape(fan, self.features)).reshape(
+                x.shape[0], ho, wo, self.features
             )
         else:
             y = _conv2d(x, kernel_sn, self.stride, self.padding, self.dtype)
@@ -860,11 +889,16 @@ class ResBlockUp(nn.Module):
 
 
 class AdaResBlock2(nn.Module):
-    """AdaIN residual block; style via 4 linears (``AdaResBlock2:776-814``)."""
+    """AdaIN residual block; style via 4 linears (``AdaResBlock2:776-814``).
+
+    ``im2col_convs`` lowers the two 3x3 convs as dense matmuls — the res
+    stage runs at 4x4 spatial where lax.conv underfills the MXU tiling.
+    """
 
     channels: int
     style_dim: int
     dtype: Optional[Dtype] = None
+    im2col_convs: bool = False
 
     @nn.compact
     def __call__(self, x, style, update_sn: bool = False):
@@ -875,10 +909,12 @@ class AdaResBlock2(nn.Module):
         std2 = Dense(c, dtype=self.dtype, name="lin2_std")(style)
 
         res = x
-        x = SNConv(c, 3, padding=1, dtype=self.dtype, name="conv1")(x, update_sn)
+        x = SNConv(c, 3, padding=1, dtype=self.dtype, im2col=self.im2col_convs,
+                   name="conv1")(x, update_sn)
         x = ada_in(x, mean1, std1)
         x = leaky_relu(x)
-        x = SNConv(c, 3, padding=1, dtype=self.dtype, name="conv2")(x, update_sn)
+        x = SNConv(c, 3, padding=1, dtype=self.dtype, im2col=self.im2col_convs,
+                   name="conv2")(x, update_sn)
         x = ada_in(x, mean2, std2)
         return x + res
 

@@ -75,7 +75,25 @@ def _l2n(x: jnp.ndarray, eps: float = _EPS) -> jnp.ndarray:
     return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
 
 
-def power_iterate(params: Any, spectral: Any, eps: float = _EPS) -> Any:
+def _matvec(eq: str, w, x, dtype):
+    """Kernel-group matvec; with a compute ``dtype`` of bf16 the [S,out,fan]
+    kernel read (the dominant HBM cost of the spectral pass — e.g. the
+    flagship's [15,512,4608] group) moves at half the bytes, while the
+    contraction still accumulates in f32 (``preferred_element_type``).
+    Direction vectors tolerate bf16 rounding: one power iteration per step
+    is itself an approximation (same policy as torch's per-forward update).
+    """
+    if dtype is None:
+        return jnp.einsum(eq, w, x)
+    return jnp.einsum(
+        eq, w.astype(dtype), x.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def power_iterate(
+    params: Any, spectral: Any, eps: float = _EPS, matvec_dtype=None
+) -> Any:
     """One batched power iteration per SN kernel; returns the new spectral tree.
 
     Matches the per-module ``update_sn=True`` path in ``nn/blocks.py``:
@@ -87,8 +105,8 @@ def power_iterate(params: Any, spectral: Any, eps: float = _EPS) -> Any:
     for _, entries in _collect(params, spectral).items():
         w = jax.lax.stop_gradient(jnp.concatenate([e[2] for e in entries], axis=0))
         u = jnp.concatenate([e[3] for e in entries], axis=0)
-        v1 = _l2n(jnp.einsum("bof,bo->bf", w, u), eps)
-        u1 = _l2n(jnp.einsum("bof,bf->bo", w, v1), eps)
+        v1 = _l2n(_matvec("bof,bo->bf", w, u, matvec_dtype), eps)
+        u1 = _l2n(_matvec("bof,bf->bo", w, v1, matvec_dtype), eps)
         i = 0
         for pre, stack_shape, we, _, _ in entries:
             s = we.shape[0]
@@ -100,12 +118,15 @@ def power_iterate(params: Any, spectral: Any, eps: float = _EPS) -> Any:
     return unflatten_dict(out_flat)
 
 
-def compute_sigmas(params: Any, spectral: Any) -> Any:
+def compute_sigmas(params: Any, spectral: Any, matvec_dtype=None) -> Any:
     """Batched sigma = u^T W v for every SN kernel (differentiable through W).
 
     Returns a pytree shaped like ``spectral`` with a ``sigma`` leaf per
     conv (scalar, or the module's stack shape under vmap/scan), suitable
-    for passing to ``apply`` as the ``sigmas`` collection.
+    for passing to ``apply`` as the ``sigmas`` collection.  Stays f32 by
+    default: sigma feeds the kernel normalisation, and its backward
+    contributes u v^T to every conv grad — the extra read is one transpose
+    pass, not the hot path.
     """
     if not spectral:
         return {}
@@ -114,7 +135,13 @@ def compute_sigmas(params: Any, spectral: Any) -> Any:
         w = jnp.concatenate([e[2] for e in entries], axis=0)
         u = jax.lax.stop_gradient(jnp.concatenate([e[3] for e in entries], axis=0))
         v = jax.lax.stop_gradient(jnp.concatenate([e[4] for e in entries], axis=0))
-        sig = jnp.einsum("bo,bof,bf->b", u, w, v)
+        if matvec_dtype is not None:
+            sig = jnp.einsum(
+                "bo,bof,bf->b", u.astype(matvec_dtype), w.astype(matvec_dtype),
+                v.astype(matvec_dtype), preferred_element_type=jnp.float32,
+            )
+        else:
+            sig = jnp.einsum("bo,bof,bf->b", u, w, v)
         i = 0
         for pre, stack_shape, we, _, _ in entries:
             s = we.shape[0]

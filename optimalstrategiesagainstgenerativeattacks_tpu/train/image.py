@@ -76,10 +76,14 @@ def make_optimizers(cfg: ImageGameConfig):
         # the same compiled program — load-bearing with the slow remote
         # compile server. Milestone schedules stay baked in.
         if not cfg.milestones and cfg.inject_lr:
-            return optax.inject_hyperparams(optax.adam)(
+            opt = optax.inject_hyperparams(optax.adam)(
                 learning_rate=lr_value, b1=cfg.beta1, b2=cfg.beta2
             )
-        return optax.adam(sched, b1=cfg.beta1, b2=cfg.beta2)
+        else:
+            opt = optax.adam(sched, b1=cfg.beta1, b2=cfg.beta2)
+        # one flat moment vector per player/param-group: the Adam update
+        # compiles to a few fused kernels instead of ~7k per-leaf ones
+        return optax.flatten(opt) if cfg.flatten_opt else opt
 
     opt_au = adam(au_sched, cfg.au_lr)
 
@@ -216,6 +220,14 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
     program can exceed the TPU compile server's memory.  All intermediate
     tensors stay on device between the phases.
     """
+    # spectral power-iteration matvecs follow the game's compute dtype:
+    # halves the dominant kernel-group HBM read in bf16 games, f32 keeps
+    # the per-module parity exact (guard: tests/test_spectral.py)
+    mv_dtype = (
+        jnp.bfloat16
+        if (cfg.compute_dtype == "bfloat16" and cfg.bf16_spectral)
+        else None
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def im_phase(params_im, spectral_im, opt_im_state, params_au, spectral_au,
@@ -239,7 +251,7 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
             return loss, fake
 
         def train_branch(_):
-            new_spec = power_iterate(params_im, spectral_im)
+            new_spec = power_iterate(params_im, spectral_im, matvec_dtype=mv_dtype)
             (loss, fake), grads = jax.value_and_grad(
                 lambda p: im_fwd(p, new_spec), has_aux=True
             )(params_im)
@@ -261,7 +273,7 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def au_phase(params_au, spectral_au, opt_au_state, fake, real, si):
-        new_spec_au = power_iterate(params_au, spectral_au)
+        new_spec_au = power_iterate(params_au, spectral_au, matvec_dtype=mv_dtype)
 
         def au_loss_fn(p_au):
             sigmas_au = compute_sigmas(p_au, new_spec_au)
@@ -351,6 +363,11 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
 
 def make_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
     """Build the single-step train function (jit with donated state)."""
+    mv_dtype = (
+        jnp.bfloat16
+        if (cfg.compute_dtype == "bfloat16" and cfg.bf16_spectral)
+        else None
+    )
 
     def train_step(state: GameState, batch):
         step = state.step + 1
@@ -381,7 +398,7 @@ def make_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
             return loss, fake
 
         def im_train_branch(_):
-            new_spec = power_iterate(state.params_im, state.spectral_im)
+            new_spec = power_iterate(state.params_im, state.spectral_im, matvec_dtype=mv_dtype)
 
             def loss_fn(params_im):
                 return im_fwd(params_im, new_spec)
@@ -418,7 +435,7 @@ def make_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
 
         # ---- authenticator on the detached fake (:237-239, detach :166)
         fake = jax.lax.stop_gradient(fake)
-        new_spectral_au = power_iterate(state.params_au, state.spectral_au)
+        new_spectral_au = power_iterate(state.params_au, state.spectral_au, matvec_dtype=mv_dtype)
 
         def au_loss_fn(params_au):
             sigmas_au = compute_sigmas(params_au, new_spectral_au)
@@ -668,6 +685,7 @@ def train_gim_imgs(
         img_size=cfg.img_size, img_channels=cfg.img_channels, style_dim=cfg.style_dim,
         use_img_att=cfg.use_img_att, num_env_noise_layers=cfg.num_env_noise_layers,
         dtype=dtype, scan_adain_blocks=cfg.scan_adain_blocks,
+        adain_im2col=cfg.adain_im2col,
     )
     logger = logger or Logger(
         log_dir=os.path.join(cfg.outdir, "logs"),

@@ -136,6 +136,9 @@ class ImageGameConfig:
     # remote compile). False unrolls them — bigger program, lets XLA
     # pipeline across blocks
     scan_adain_blocks: bool = True
+    # lower the res-stage 3x3 convs as im2col dense matmuls (the 4x4x512
+    # maps underfill lax.conv's sublane tiling); identical params/ckpts
+    adain_im2col: bool = False
     # 'auto': monolithic jitted step, falling back to the two-phase split
     # step if the compile server rejects the large program; 'always'/'never'
     split_step: str = "auto"
@@ -146,6 +149,17 @@ class ImageGameConfig:
     # hyperparameter-inject constant LRs into optimizer state (HLO becomes
     # LR-agnostic -> compile-cache hits across LR choices)
     inject_lr: bool = True
+    # optax.flatten the Adam transforms: moments live as ONE flat vector per
+    # player/param-group. Measured round 3 and REJECTED: 179.2 vs 161.8
+    # ms/step at flagship (the ravel/unravel copies cost more than the
+    # per-leaf kernels they replace). Also changes the opt-state checkpoint
+    # layout. Kept as a knob for the record.
+    flatten_opt: bool = False
+    # run the spectral-norm power-iteration matvecs in the compute dtype
+    # (halves the kernel-group HBM read in bf16 games); off by default
+    # pending an isolated measurement (round-3 combo with flatten_opt
+    # measured slower overall)
+    bf16_spectral: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "ImageGameConfig":

@@ -29,7 +29,8 @@ def compute_flops(args, cfg, itrain, imodels):
     dtype = jnp.bfloat16
     au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
     im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
-                        scan_adain_blocks=cfg.scan_adain_blocks)
+                        scan_adain_blocks=cfg.scan_adain_blocks,
+                        adain_im2col=cfg.adain_im2col)
     state = jax.eval_shape(
         lambda k: itrain.create_state(cfg, au, im, k)[0], jax.random.PRNGKey(0)
     )
@@ -69,6 +70,16 @@ def main():
     p.add_argument("--monolithic", action="store_true")
     p.add_argument("--no-scan", action="store_true",
                    help="unroll the AdaIN res blocks instead of nn.scan")
+    p.add_argument("--im2col", action="store_true",
+                   help="lower the AdaIN res-stage convs as dense matmuls")
+    p.add_argument("--flatten", action="store_true",
+                   help="optax.flatten the optimizers (measured slower r3)")
+    p.add_argument("--bf16-matvec", action="store_true",
+                   help="spectral power-iteration matvecs in bf16")
+    p.add_argument("--compile-only", action="store_true",
+                   help="lower+compile the phases (warms the persistent "
+                        "cache via the remote compile server) and exit "
+                        "without touching the chip")
     p.add_argument("--flops-cpu", action="store_true",
                    help="only print FLOPs/step, traced on the CPU backend")
     args = p.parse_args()
@@ -96,6 +107,9 @@ def main():
         img_channels=args.channels, style_dim=args.style, reg_param=args.reg,
         compute_dtype="bfloat16", inject_lr=True,
         scan_adain_blocks=not args.no_scan,
+        adain_im2col=args.im2col,
+        flatten_opt=args.flatten,
+        bf16_spectral=args.bf16_matvec,
     )
     if args.flops_cpu:
         flops = compute_flops(args, cfg, itrain, imodels)
@@ -106,7 +120,30 @@ def main():
     dtype = jnp.bfloat16
     au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
     im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
-                        scan_adain_blocks=cfg.scan_adain_blocks)
+                        scan_adain_blocks=cfg.scan_adain_blocks,
+                        adain_im2col=cfg.adain_im2col)
+    if args.compile_only:
+        state = jax.eval_shape(
+            lambda k: itrain.create_state(cfg, au, im, k)[0], jax.random.PRNGKey(0)
+        )
+        opt_au, opt_im, _ = itrain.make_optimizers(cfg)
+        step_fn = itrain.make_split_train_step(cfg, au, im, opt_au, opt_im)
+        batch = {
+            key: jax.ShapeDtypeStruct(
+                (cfg.batch_size, s, cfg.img_size, cfg.img_size, cfg.img_channels),
+                jnp.uint8,
+            )
+            for key, s in (
+                ("real_sample", cfg.n), ("leaked_sample", cfg.m),
+                ("si_sample", cfg.k),
+            )
+        }
+        jax.eval_shape(step_fn, state, batch)
+        for name, phase in step_fn.phases.items():
+            t1 = time.perf_counter()
+            phase.lower(*step_fn.arg_specs[name]).compile()
+            print(f"compiled {name} in {time.perf_counter() - t1:.1f}s", flush=True)
+        return
     state, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
     if args.monolithic:
         step_fn = itrain.make_train_step(cfg, au, im, opt_au, opt_im)

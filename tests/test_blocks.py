@@ -261,3 +261,22 @@ def test_pool_conv_commutation_exact(rng):
         np.asarray(m.apply(v, upscale2d(x), False)),
         atol=1e-5,
     )
+
+
+def test_snconv_im2col_matches_conv(rng):
+    """SNConv(im2col=True) == the lax.conv lowering on the same params —
+    the dense-matmul path for tiny spatial maps (4x4 AdaIN res stage) is a
+    pure implementation toggle, identical params/checkpoints."""
+    m_ref = blocks.SNConv(features=8, kernel_size=3, padding=1)
+    m_mat = blocks.SNConv(features=8, kernel_size=3, padding=1, im2col=True)
+    x = jax.random.normal(jax.random.fold_in(rng, 7), (6, 4, 4, 8))
+    v = m_ref.init(rng, x)
+    ref = m_ref.apply(v, x, False)
+    out = m_mat.apply(v, x, False)
+    assert out.shape == ref.shape == (6, 4, 4, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # gradients agree too (the backward runs through slice-adds, not conv)
+    g_ref = jax.grad(lambda p: (m_ref.apply({**v, "params": p}, x, False) ** 2).sum())(v["params"])
+    g_mat = jax.grad(lambda p: (m_mat.apply({**v, "params": p}, x, False) ** 2).sum())(v["params"])
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_mat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

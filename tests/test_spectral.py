@@ -92,6 +92,43 @@ def test_injected_sigma_gradients_match(rng):
     _tree_allclose(g_ref, g_new, atol=1e-4)
 
 
+def test_bf16_matvec_power_iteration_numerics(rng):
+    """Numerics guard for the bf16 kernel-group matvecs the bf16 game uses
+    (``power_iterate(..., matvec_dtype=bf16)``): iterated directions stay
+    aligned with the f32 iteration and the resulting sigmas agree to ~1%
+    — well inside the tolerance of single-step power iteration itself."""
+    au = imodels.get_au(IMG, C, STYLE)
+    test = jnp.zeros((1, 2, IMG, IMG, C))
+    si = jnp.zeros((1, 2, IMG, IMG, C))
+    variables = au.init(rng, test, si)
+    params, spectral = variables["params"], variables["spectral"]
+
+    spec_f32 = spectral
+    spec_bf16 = spectral
+    it32 = jax.jit(power_iterate)
+    it16 = jax.jit(lambda p, s: power_iterate(p, s, matvec_dtype=jnp.bfloat16))
+    for _ in range(10):
+        spec_f32 = it32(params, spec_f32)
+        spec_bf16 = it16(params, spec_bf16)
+
+    flat32 = jax.tree.leaves(jax.device_get(spec_f32))
+    flat16 = jax.tree.leaves(jax.device_get(spec_bf16))
+    assert len(flat32) == len(flat16) and flat32
+    for a, b in zip(flat32, flat16):
+        assert b.dtype == np.float32  # state stays f32; only matvecs are bf16
+        a2 = np.asarray(a).reshape(-1, a.shape[-1])
+        b2 = np.asarray(b).reshape(-1, b.shape[-1])
+        cos = np.sum(a2 * b2, axis=-1) / (
+            np.linalg.norm(a2, axis=-1) * np.linalg.norm(b2, axis=-1)
+        )
+        assert cos.min() > 0.999, cos.min()
+
+    sig32 = jax.tree.leaves(jax.device_get(jax.jit(compute_sigmas)(params, spec_f32)))
+    sig16 = jax.tree.leaves(jax.device_get(jax.jit(compute_sigmas)(params, spec_bf16)))
+    for a, b in zip(sig32, sig16):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2)
+
+
 def test_sigma_is_top_singular_value_after_convergence(rng):
     """Batched iteration converges to the true spectral norm (tall + wide
     groups, incl. a stacked vmapped kernel)."""
