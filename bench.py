@@ -109,10 +109,13 @@ def main():
     from optimalstrategiesagainstgenerativeattacks_tpu.train import image as itrain
     from optimalstrategiesagainstgenerativeattacks_tpu.utils.config import ImageGameConfig
 
-    def build(inject_lr: bool):
+    def build(inject_lr: bool, img_size: int = 32, img_channels: int = 1,
+              reg_param: float = 0.0):
         cfg = ImageGameConfig(
-            batch_size=128, m=1, n=5, k=5, img_size=32, img_channels=1,
-            style_dim=512, compute_dtype="bfloat16", inject_lr=inject_lr,
+            batch_size=128, m=1, n=5, k=5, img_size=img_size,
+            img_channels=img_channels, style_dim=512,
+            compute_dtype="bfloat16", inject_lr=inject_lr,
+            reg_param=reg_param,
         )
         dtype = jnp.bfloat16
         au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
@@ -176,6 +179,56 @@ def main():
     # this exact config (cached on a source+config hash); v5e bf16 peak
     # 197e12 (public spec)
     tflops_per_step, flops_provenance = derive_tflops_per_step(cfg)
+
+    # second tracked config: the VoxCeleb2 shape (64x64x3, reg_param=10 —
+    # exercises the R1 grad-of-grad path). Compile-cached; best-effort so a
+    # compile-server hiccup can't take down the primary metric.
+    vox = None
+    try:
+        vcfg, vstate, vstep = build(inject_lr=True, img_size=64,
+                                    img_channels=3, reg_param=10.0)
+
+        def vox_batch(seed):
+            r = np.random.default_rng(seed)
+            return {
+                key: r.integers(
+                    0, 255,
+                    (vcfg.batch_size, s, vcfg.img_size, vcfg.img_size,
+                     vcfg.img_channels),
+                    dtype=np.uint8,
+                )
+                for key, s in (
+                    ("real_sample", vcfg.n), ("leaked_sample", vcfg.m),
+                    ("si_sample", vcfg.k),
+                )
+            }
+
+        vbatches = [vox_batch(100 + i) for i in range(4)]
+        vstate, vmetrics, _ = vstep(vstate, vbatches[0])
+        float(vmetrics["au_loss"])
+        for i in range(1, 3):
+            vstate, vmetrics, _ = vstep(vstate, vbatches[i % 4])
+        float(vmetrics["au_loss"])
+        vn = 20
+        t0 = time.perf_counter()
+        for i in range(vn):
+            vstate, vmetrics, _ = vstep(vstate, vbatches[i % 4])
+        float(vmetrics["au_loss"])
+        v_sps = vn / (time.perf_counter() - t0)
+        v_tflops, v_prov = derive_tflops_per_step(vcfg)
+        vox = {
+            "steps_per_sec": round(v_sps, 3),
+            "ms_per_step": round(1e3 / v_sps, 1),
+            "images_per_sec": round(
+                v_sps * vcfg.batch_size * (vcfg.m + vcfg.n + vcfg.k), 0
+            ),
+            "tflops_per_step": v_tflops,
+            "tflops_provenance": v_prov,
+            "mfu_vs_v5e_bf16_peak": round(v_tflops * 1e12 * v_sps / 197e12, 3),
+        }
+    except Exception:
+        vox = None
+
     print(
         json.dumps(
             {
@@ -192,6 +245,7 @@ def main():
                 "mfu_vs_v5e_bf16_peak": round(
                     tflops_per_step * 1e12 * steps_per_sec / 197e12, 3
                 ),
+                **({"vox_64x3_reg10": vox} if vox else {}),
             }
         )
     )

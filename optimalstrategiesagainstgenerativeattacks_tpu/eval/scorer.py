@@ -119,8 +119,10 @@ def eval_authenticator_and_impersonator(
     from sklearn.metrics import roc_auc_score
 
     max_iters = 1000 if dbg else len(ds)
-    au_dev = getattr(authenticator.au_model_func, "device_fn", None)
-    im_dev = getattr(impersonator.im_model_func, "device_fn", None)
+    # OSGA_EVAL_NO_FASTPATH=1 forces the per-batch-fetch path (A/B timing)
+    no_fast = os.environ.get("OSGA_EVAL_NO_FASTPATH", "") == "1"
+    au_dev = None if no_fast else getattr(authenticator.au_model_func, "device_fn", None)
+    im_dev = None if no_fast else getattr(impersonator.im_model_func, "device_fn", None)
     on_real, on_fake = _GameTally(), _GameTally()
     if au_dev is not None:
         import jax
