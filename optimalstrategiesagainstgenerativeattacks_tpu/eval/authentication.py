@@ -172,12 +172,14 @@ def _restore_gim_state(ckpt_path: str, args_dict: dict):
 
     cfg = ImageGameConfig.from_dict(args_dict)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
+    au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
+                        unroll_encoder_pair=cfg.unroll_encoder_pair)
     im = imodels.get_im(
         cfg.img_size, cfg.img_channels, cfg.style_dim,
         use_img_att=cfg.use_img_att, num_env_noise_layers=cfg.num_env_noise_layers,
         dtype=dtype, scan_adain_blocks=cfg.scan_adain_blocks,
         adain_im2col=cfg.adain_im2col,
+        unroll_encoder_pair=cfg.unroll_encoder_pair,
     )
     template, _, _, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
     cio = CheckpointIO(os.path.dirname(ckpt_path))

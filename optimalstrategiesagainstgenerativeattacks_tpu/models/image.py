@@ -93,6 +93,15 @@ class EncoderPair(nn.Module):
     of twice (half the HLO -> half the compile cost) and (b) presents XLA
     with double-width batched convolutions.  Identical math and parameter
     count to two separate encoders.
+
+    ``unroll_pair=True`` keeps the SAME stacked parameter layout (init and
+    checkpoints are unchanged) but applies the plain encoder body twice on
+    sliced variables instead of once under vmap.  Motivation (round-3 vox
+    profile): the vmapped-kernel convs lower to group-2 convolutions whose
+    activations carry a minor ``(2, C)`` tile — at C<=64 that wastes half
+    the 128 MXU lanes on every conv AND elementwise op (378 of 544 ms/step
+    at img64x3 was spent in pair-dim kernels).  Unrolling doubles the HLO
+    body (slower remote compile) but gives each conv the full tiling.
     """
 
     img_size: int
@@ -101,6 +110,7 @@ class EncoderPair(nn.Module):
     min_n_channels: int = 64
     use_out_lrelu: bool = True
     dtype: Optional[Dtype] = None
+    unroll_pair: bool = False
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
@@ -113,7 +123,7 @@ class EncoderPair(nn.Module):
             out_axes=0,
             axis_size=2,
         )
-        out = VEncoder(
+        enc_mod = VEncoder(
             img_size=self.img_size,
             img_channels=self.img_channels,
             style_dim=self.style_dim,
@@ -121,7 +131,32 @@ class EncoderPair(nn.Module):
             use_out_lrelu=self.use_out_lrelu,
             dtype=self.dtype,
             name="enc",
-        )(x, update_sn)  # [2, B', style]
+        )
+        if self.unroll_pair and not self.is_initializing():
+            if update_sn:
+                raise ValueError(
+                    "unroll_pair supports the injected-sigmas flow only; "
+                    "use update_sn=False (train/eval steps) or the vmapped "
+                    "pair for direct update_sn use."
+                )
+            stacked = enc_mod.variables  # {'params': ..., 'spectral': ..., ('sigmas': ...)}
+            inner = Encoder(
+                img_size=self.img_size,
+                img_channels=self.img_channels,
+                style_dim=self.style_dim,
+                min_n_channels=self.min_n_channels,
+                use_out_lrelu=self.use_out_lrelu,
+                dtype=self.dtype,
+            )
+            outs = []
+            for i in range(2):
+                vars_i = {
+                    col: jax.tree.map(lambda v: v[i], tree)
+                    for col, tree in stacked.items()
+                }
+                outs.append(inner.apply(vars_i, x, update_sn))
+            return outs[0], outs[1]
+        out = enc_mod(x, update_sn)  # [2, B', style]
         return out[0], out[1]
 
 
@@ -503,10 +538,12 @@ def get_im(
     dtype: Optional[Dtype] = None,
     scan_adain_blocks: bool = True,
     adain_im2col: bool = False,
+    unroll_encoder_pair: bool = False,
 ) -> GIMFaceImpersonator:
     """Factory matching ``gim_img_models.get_im:429-449``."""
     encoders = EncoderPair(
-        img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype
+        img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype,
+        unroll_pair=unroll_encoder_pair,
     )
     decoder = EnvDecoder(
         img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype
@@ -536,7 +573,8 @@ def get_im(
 
 
 def get_au(
-    img_size: int, img_channels: int, style_dim: int, dtype: Optional[Dtype] = None
+    img_size: int, img_channels: int, style_dim: int, dtype: Optional[Dtype] = None,
+    unroll_encoder_pair: bool = False,
 ) -> GIMFaceAuthenticator:
     """Factory matching ``gim_img_models.get_au:452-463``."""
     stat = MeanStdFcStat(
@@ -547,6 +585,7 @@ def get_au(
     )
     dis = GIMFaceDis(src_dim=style_dim, env_dim=style_dim, stat=stat, dtype=dtype)
     encoders = EncoderPair(
-        img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype
+        img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype,
+        unroll_pair=unroll_encoder_pair,
     )
     return GIMFaceAuthenticator(encoders=encoders, dis=dis)

@@ -36,6 +36,7 @@ import numpy as np
 import optax
 
 from optimalstrategiesagainstgenerativeattacks_tpu.data.episodic import normalize_uint8
+from optimalstrategiesagainstgenerativeattacks_tpu.ops.packing import stack_same_shape
 from optimalstrategiesagainstgenerativeattacks_tpu.ops.spectral import (
     compute_sigmas,
     power_iterate,
@@ -83,7 +84,12 @@ def make_optimizers(cfg: ImageGameConfig):
             opt = optax.adam(sched, b1=cfg.beta1, b2=cfg.beta2)
         # one flat moment vector per player/param-group: the Adam update
         # compiles to a few fused kernels instead of ~7k per-leaf ones
-        return optax.flatten(opt) if cfg.flatten_opt else opt
+        if cfg.flatten_opt:
+            return optax.flatten(opt)
+        # middle road: stack same-shape leaves (layout-preserving, exact)
+        if cfg.stack_opt:
+            return stack_same_shape(opt)
+        return opt
 
     opt_au = adam(au_sched, cfg.au_lr)
 
@@ -679,13 +685,14 @@ def train_gim_imgs(
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     au = au if au is not None else imodels.get_au(
         img_size=cfg.img_size, img_channels=cfg.img_channels, style_dim=cfg.style_dim,
-        dtype=dtype,
+        dtype=dtype, unroll_encoder_pair=cfg.unroll_encoder_pair,
     )
     im = im if im is not None else imodels.get_im(
         img_size=cfg.img_size, img_channels=cfg.img_channels, style_dim=cfg.style_dim,
         use_img_att=cfg.use_img_att, num_env_noise_layers=cfg.num_env_noise_layers,
         dtype=dtype, scan_adain_blocks=cfg.scan_adain_blocks,
         adain_im2col=cfg.adain_im2col,
+        unroll_encoder_pair=cfg.unroll_encoder_pair,
     )
     logger = logger or Logger(
         log_dir=os.path.join(cfg.outdir, "logs"),

@@ -139,6 +139,10 @@ class ImageGameConfig:
     # lower the res-stage 3x3 convs as im2col dense matmuls (the 4x4x512
     # maps underfill lax.conv's sublane tiling); identical params/ckpts
     adain_im2col: bool = False
+    # apply the src/env encoder twins as two full-width passes over sliced
+    # stacked params instead of one vmapped (group-2 conv) pass; identical
+    # params/ckpts, bigger HLO. See models/image.py EncoderPair
+    unroll_encoder_pair: bool = False
     # 'auto': monolithic jitted step, falling back to the two-phase split
     # step if the compile server rejects the large program; 'always'/'never'
     split_step: str = "auto"
@@ -156,10 +160,14 @@ class ImageGameConfig:
     # layout. Kept as a knob for the record.
     flatten_opt: bool = False
     # run the spectral-norm power-iteration matvecs in the compute dtype
-    # (halves the kernel-group HBM read in bf16 games); off by default
-    # pending an isolated measurement (round-3 combo with flatten_opt
-    # measured slower overall)
+    # (halves the kernel-group HBM read in bf16 games); off by default:
+    # measured a wash in isolation (161.0 vs 161.8 ms/step flagship, round 3)
     bf16_spectral: bool = False
+    # stack same-(shape,dtype) param leaves before the Adam elementwise ops
+    # (one kernel per shape group instead of per leaf; singleton groups
+    # pass through copy-free). Exact semantics; changes the opt-state
+    # checkpoint layout. See ops/packing.py
+    stack_opt: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "ImageGameConfig":

@@ -27,10 +27,12 @@ def compute_flops(args, cfg, itrain, imodels):
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16
-    au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
+    au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
+                        unroll_encoder_pair=cfg.unroll_encoder_pair)
     im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
                         scan_adain_blocks=cfg.scan_adain_blocks,
-                        adain_im2col=cfg.adain_im2col)
+                        adain_im2col=cfg.adain_im2col,
+                        unroll_encoder_pair=cfg.unroll_encoder_pair)
     state = jax.eval_shape(
         lambda k: itrain.create_state(cfg, au, im, k)[0], jax.random.PRNGKey(0)
     )
@@ -74,6 +76,11 @@ def main():
                    help="lower the AdaIN res-stage convs as dense matmuls")
     p.add_argument("--flatten", action="store_true",
                    help="optax.flatten the optimizers (measured slower r3)")
+    p.add_argument("--stack-opt", action="store_true",
+                   help="shape-grouped leaf stacking for the Adam updates")
+    p.add_argument("--unroll-pair", action="store_true",
+                   help="unroll the src/env encoder pair (full-width convs "
+                        "instead of group-2; same params/ckpts)")
     p.add_argument("--bf16-matvec", action="store_true",
                    help="spectral power-iteration matvecs in bf16")
     p.add_argument("--compile-only", action="store_true",
@@ -109,6 +116,8 @@ def main():
         scan_adain_blocks=not args.no_scan,
         adain_im2col=args.im2col,
         flatten_opt=args.flatten,
+        stack_opt=args.stack_opt,
+        unroll_encoder_pair=args.unroll_pair,
         bf16_spectral=args.bf16_matvec,
     )
     if args.flops_cpu:
@@ -118,10 +127,12 @@ def main():
                                     f"style{cfg.style_dim}"}))
         return
     dtype = jnp.bfloat16
-    au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
+    au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
+                        unroll_encoder_pair=cfg.unroll_encoder_pair)
     im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
                         scan_adain_blocks=cfg.scan_adain_blocks,
-                        adain_im2col=cfg.adain_im2col)
+                        adain_im2col=cfg.adain_im2col,
+                        unroll_encoder_pair=cfg.unroll_encoder_pair)
     if args.compile_only:
         state = jax.eval_shape(
             lambda k: itrain.create_state(cfg, au, im, k)[0], jax.random.PRNGKey(0)

@@ -63,6 +63,10 @@ def get_args():
                         help="encoder-diagnostic cadence (reference tb_log_enc_every)")
     parser.add_argument("--compute_dtype", default="bfloat16",
                         help="bfloat16 (TPU default) or float32")
+    parser.add_argument("--unroll_encoder_pair", type=lambda x: bool(int(x)), default=False,
+                        help="apply the src/env encoder twins as two full-width "
+                             "conv passes instead of one vmapped group-2 pass "
+                             "(same params/ckpts; faster on TPU at large images)")
     return parser.parse_args()
 
 
