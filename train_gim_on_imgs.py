@@ -67,6 +67,10 @@ def get_args():
                         help="apply the src/env encoder twins as two full-width "
                              "conv passes instead of one vmapped group-2 pass "
                              "(same params/ckpts; faster on TPU at large images)")
+    parser.add_argument("--stack_opt", type=lambda x: bool(int(x)), default=False,
+                        help="shape-grouped optimizer-leaf stacking (one Adam "
+                             "kernel per (shape,dtype) group; exact semantics, "
+                             "changes the opt-state checkpoint layout)")
     return parser.parse_args()
 
 
