@@ -1,11 +1,19 @@
 """Shape-grouped leaf stacking for optimizer updates.
 
-The flagship step spends ~12 ms in ~7k tiny per-leaf Adam kernels (the two
-players have hundreds of small bias/scale/norm leaves).  ``optax.flatten``
-collapses them into ONE kernel but ravels every leaf into a flat f32 vector,
-which forces XLA to re-linearise the TPU-tiled layouts of the big conv
-kernels — measured 17 ms SLOWER end-to-end (round 3, see
+The flagship step's profile shows ~12 ms in ~7k tiny per-leaf Adam kernels
+(the two players have hundreds of small bias/scale/norm leaves).
+``optax.flatten`` collapses them into ONE kernel but ravels every leaf into
+a flat f32 vector, which forces XLA to re-linearise the TPU-tiled layouts
+of the big conv kernels — measured 17 ms SLOWER end-to-end (round 3, see
 ``ImageGameConfig.flatten_opt``).
+
+Measured on the real chip (round 3, flagship B128/img32/style512):
+163.65 ms/step vs 161.8 ms for the per-leaf layout — a WASH.  The tiny
+Adam kernels were already overlapped with the convs' HBM traffic, so
+removing them doesn't shorten the critical path, and the non-singleton
+stack/unstack copies give the ~2 ms back.  Kept as an opt-in knob
+(exact semantics, pinned by ``tests/test_packing.py``; sharding-invariant
+under dp x tp, pinned by ``tests/test_image_training.py``), default OFF.
 
 ``stack_same_shape`` takes the middle road: leaves are grouped by
 ``(shape, dtype)`` and each group is stacked along a NEW leading axis.  A

@@ -82,6 +82,11 @@ def _matvec(eq: str, w, x, dtype):
     contraction still accumulates in f32 (``preferred_element_type``).
     Direction vectors tolerate bf16 rounding: one power iteration per step
     is itself an approximation (same policy as torch's per-forward update).
+
+    Measured on the real chip (round 3, flagship config): 165.69 ms/step
+    vs 161.8 ms for the f32 path — NO win; the spectral reads were already
+    overlapped with compute, so halving their bytes doesn't shorten the
+    critical path.  Kept as an opt-in knob, default OFF.
     """
     if dtype is None:
         return jnp.einsum(eq, w, x)
