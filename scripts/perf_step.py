@@ -174,7 +174,9 @@ def main():
             )
         }
 
-    batches = [make_batch(i) for i in range(4)]
+    # device-resident batches: time the chip, not the dev tunnel (whose
+    # bandwidth varies 10x day-to-day; see bench.py)
+    batches = [jax.device_put(make_batch(i)) for i in range(4)]
 
     t0 = time.perf_counter()
     state, metrics, _ = step_fn(state, batches[0])
