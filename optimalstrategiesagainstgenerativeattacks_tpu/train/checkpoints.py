@@ -22,6 +22,18 @@ import orbax.checkpoint as ocp
 CKPT_PREFIX = "model_"
 
 
+def resolve_ckpt_path(path: str, outdir: str) -> str:
+    """Resolve a resume/pretrained path the way the reference CLIs are used:
+    relative paths that don't exist from the cwd are tried against the
+    experiment outdir (so ``-r ckpts/model_00085000`` works no matter where
+    the CLI is launched from)."""
+    if not os.path.isabs(path) and not os.path.exists(path):
+        candidate = os.path.join(outdir, path)
+        if os.path.exists(candidate):
+            return candidate
+    return path
+
+
 class CheckpointIO:
     """Save/restore the full game state as orbax pytrees."""
 

@@ -37,7 +37,6 @@ from optimalstrategiesagainstgenerativeattacks_tpu.parallel.mesh import (
 from optimalstrategiesagainstgenerativeattacks_tpu.train.losses import (
     bce_with_logits,
     gan_accuracy,
-    grad2_penalty,
 )
 from optimalstrategiesagainstgenerativeattacks_tpu.train.state import GameState
 from optimalstrategiesagainstgenerativeattacks_tpu.utils.config import GaussianGameConfig
@@ -151,11 +150,20 @@ def make_train_step(
             def score_real(r, s):
                 return au.apply({"params": params_au}, r, s)
 
-            out_on_real = score_real(real, si)
-            loss_on_real = bce_with_logits(out_on_real, 1.0)
             if cfg.reg_param > 0:
-                reg = cfg.reg_param * grad2_penalty(score_real, (real, si))
+                # R1 shares the loss's forward (torch parity: compute_grad2
+                # double-backwards through the graph that produced d_real)
+                out_on_real, score_vjp = jax.vjp(score_real, real, si)
+                g_r, g_s = score_vjp(jnp.ones_like(out_on_real))
+                b = real.shape[0]
+                reg = cfg.reg_param * (
+                    jnp.square(g_r.astype(jnp.float32)).reshape(b, -1).sum(axis=1)
+                    + jnp.square(g_s.astype(jnp.float32)).reshape(b, -1).sum(axis=1)
+                )
+                loss_on_real = bce_with_logits(out_on_real, 1.0)
             else:
+                out_on_real = score_real(real, si)
+                loss_on_real = bce_with_logits(out_on_real, 1.0)
                 reg = jnp.zeros_like(loss_on_real)
             out_on_fake = au.apply({"params": params_au}, fake, si)
             loss_on_fake = bce_with_logits(out_on_fake, 0.0)
@@ -235,7 +243,10 @@ def train_gim_gaussian(cfg: GaussianGameConfig, au=None, im=None, logger=None, m
     import os
 
     from optimalstrategiesagainstgenerativeattacks_tpu.models import gaussian as gmodels
-    from optimalstrategiesagainstgenerativeattacks_tpu.train.checkpoints import CheckpointIO
+    from optimalstrategiesagainstgenerativeattacks_tpu.train.checkpoints import (
+        CheckpointIO,
+        resolve_ckpt_path as _resolve_ckpt_path,
+    )
     from optimalstrategiesagainstgenerativeattacks_tpu.train.logger import Logger
     from optimalstrategiesagainstgenerativeattacks_tpu.train.state import num_parameters
 
@@ -256,10 +267,14 @@ def train_gim_gaussian(cfg: GaussianGameConfig, au=None, im=None, logger=None, m
     print(f"impersonator has {num_parameters(state.params_im)} parameters")
 
     if cfg.pretrained:
-        loaded, _, _ = checkpoint_io.load(cfg.pretrained, state)
+        loaded, _, _ = checkpoint_io.load(
+            _resolve_ckpt_path(cfg.pretrained, cfg.outdir), state
+        )
         state = state.replace(params_au=loaded.params_au, params_im=loaded.params_im)
     if cfg.resume_from_ckpt:
-        state, gstep, _ = checkpoint_io.load(cfg.resume_from_ckpt, state)
+        state, gstep, _ = checkpoint_io.load(
+            _resolve_ckpt_path(cfg.resume_from_ckpt, cfg.outdir), state
+        )
         print(f"Resuming training from iteration {gstep}")
 
     chunk = max(1, min(cfg.log_every, cfg.save_stats_every))

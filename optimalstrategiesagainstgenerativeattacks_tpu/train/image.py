@@ -46,7 +46,6 @@ from optimalstrategiesagainstgenerativeattacks_tpu.parallel.mesh import constrai
 from optimalstrategiesagainstgenerativeattacks_tpu.train.losses import (
     bce_with_logits,
     gan_accuracy,
-    grad2_penalty,
 )
 from optimalstrategiesagainstgenerativeattacks_tpu.train.state import GameState
 from optimalstrategiesagainstgenerativeattacks_tpu.utils.config import ImageGameConfig
@@ -283,19 +282,34 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
 
         def au_loss_fn(p_au):
             sigmas_au = compute_sigmas(p_au, new_spec_au)
-            out_real, out_fake = _au_outputs(
-                au, p_au, new_spec_au, real, fake, si, sigmas_au
-            )
+            if cfg.reg_param > 0:
+                # R1 shares the loss's forward (torch parity: compute_grad2
+                # double-backwards through the graph that produced d_real,
+                # ``gim_img_trainer.py:121-124`` — it never re-runs the
+                # authenticator). jax.vjp gives the scores AND the
+                # input-gradients from one fused pass; the old
+                # grad2_penalty closure re-encoded [si; real] a second
+                # time (~2/3 of an extra encoder pass per au step).
+                def fused(r, s):
+                    return _au_outputs(au, p_au, new_spec_au, r, fake, s, sigmas_au)
+
+                (out_real, out_fake), score_vjp = jax.vjp(fused, real, si)
+                g_real, g_si = score_vjp(
+                    (jnp.ones_like(out_real), jnp.zeros_like(out_fake))
+                )
+                b = real.shape[0]
+                reg = cfg.reg_param * (
+                    jnp.square(g_real.astype(jnp.float32)).reshape(b, -1).sum(axis=1)
+                    + jnp.square(g_si.astype(jnp.float32)).reshape(b, -1).sum(axis=1)
+                )
+            else:
+                out_real, out_fake = _au_outputs(
+                    au, p_au, new_spec_au, real, fake, si, sigmas_au
+                )
+                reg = None
             loss_on_real = bce_with_logits(out_real, 1.0)
             loss_on_fake = bce_with_logits(out_fake, 0.0)
-            if cfg.reg_param > 0:
-                variables = _au_variables(p_au, new_spec_au, sigmas_au)
-
-                def score_real(r, s):
-                    return au.apply(variables, r, s, False)
-
-                reg = cfg.reg_param * grad2_penalty(score_real, (real, si))
-            else:
+            if reg is None:
                 reg = jnp.zeros_like(loss_on_real)
             loss = (loss_on_real + loss_on_fake + reg).mean()
             return loss, (loss_on_real, loss_on_fake, reg, out_real, out_fake)
@@ -445,19 +459,31 @@ def make_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
 
         def au_loss_fn(params_au):
             sigmas_au = compute_sigmas(params_au, new_spectral_au)
-            out_real, out_fake = _au_outputs(
-                au, params_au, new_spectral_au, real, fake, si, sigmas_au
-            )
+            if cfg.reg_param > 0:
+                # R1 shares the loss's forward via jax.vjp (see the split
+                # step's au_phase for the torch-parity rationale)
+                def fused(r, s):
+                    return _au_outputs(
+                        au, params_au, new_spectral_au, r, fake, s, sigmas_au
+                    )
+
+                (out_real, out_fake), score_vjp = jax.vjp(fused, real, si)
+                g_real, g_si = score_vjp(
+                    (jnp.ones_like(out_real), jnp.zeros_like(out_fake))
+                )
+                b = real.shape[0]
+                reg = cfg.reg_param * (
+                    jnp.square(g_real.astype(jnp.float32)).reshape(b, -1).sum(axis=1)
+                    + jnp.square(g_si.astype(jnp.float32)).reshape(b, -1).sum(axis=1)
+                )
+            else:
+                out_real, out_fake = _au_outputs(
+                    au, params_au, new_spectral_au, real, fake, si, sigmas_au
+                )
+                reg = None
             loss_on_real = bce_with_logits(out_real, 1.0)
             loss_on_fake = bce_with_logits(out_fake, 0.0)
-            if cfg.reg_param > 0:
-                variables = _au_variables(params_au, new_spectral_au, sigmas_au)
-
-                def score_real(r, s):
-                    return au.apply(variables, r, s, False)
-
-                reg = cfg.reg_param * grad2_penalty(score_real, (real, si))
-            else:
+            if reg is None:
                 reg = jnp.zeros_like(loss_on_real)
             loss = (loss_on_real + loss_on_fake + reg).mean()
             aux = (loss_on_real, loss_on_fake, reg, out_real, out_fake)
@@ -678,7 +704,10 @@ def train_gim_imgs(
     from optimalstrategiesagainstgenerativeattacks_tpu.parallel.mesh import (
         adjust_batch_size,
     )
-    from optimalstrategiesagainstgenerativeattacks_tpu.train.checkpoints import CheckpointIO
+    from optimalstrategiesagainstgenerativeattacks_tpu.train.checkpoints import (
+        CheckpointIO,
+        resolve_ckpt_path as _resolve_ckpt_path,
+    )
     from optimalstrategiesagainstgenerativeattacks_tpu.train.logger import Logger
     from optimalstrategiesagainstgenerativeattacks_tpu.train.state import num_parameters
 
@@ -708,14 +737,18 @@ def train_gim_imgs(
     print(f"impersonator has {num_parameters(state.params_im)} parameters")
 
     if cfg.pretrained:
-        loaded, _, _ = checkpoint_io.load(cfg.pretrained, state)
+        loaded, _, _ = checkpoint_io.load(
+            _resolve_ckpt_path(cfg.pretrained, cfg.outdir), state
+        )
         state = state.replace(
             params_au=loaded.params_au, params_im=loaded.params_im,
             spectral_au=loaded.spectral_au, spectral_im=loaded.spectral_im,
         )
     last_epoch = 0
     if cfg.resume_from_ckpt:
-        state, gstep, last_epoch = checkpoint_io.load(cfg.resume_from_ckpt, state)
+        state, gstep, last_epoch = checkpoint_io.load(
+            _resolve_ckpt_path(cfg.resume_from_ckpt, cfg.outdir), state
+        )
         print(f"Resuming training from iteration {gstep}")
 
     # 'auto' goes straight to the split step for large configs: the

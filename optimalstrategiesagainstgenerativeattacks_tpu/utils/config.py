@@ -141,8 +141,11 @@ class ImageGameConfig:
     adain_im2col: bool = False
     # apply the src/env encoder twins as two full-width passes over sliced
     # stacked params instead of one vmapped (group-2 conv) pass; identical
-    # params/ckpts, bigger HLO. See models/image.py EncoderPair
-    unroll_encoder_pair: bool = False
+    # params/ckpts, bigger HLO. Default ON: measured on-chip (round 3)
+    # 160.5 -> 149.65 ms/step flagship and 512.5 -> 477.7 ms/step vox —
+    # the vmapped group-2 convs carry a (2, C) minor tile that wastes MXU
+    # lanes at small C. See models/image.py EncoderPair
+    unroll_encoder_pair: bool = True
     # 'auto': monolithic jitted step, falling back to the two-phase split
     # step if the compile server rejects the large program; 'always'/'never'
     split_step: str = "auto"

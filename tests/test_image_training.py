@@ -354,3 +354,57 @@ def test_interrupt_save_records_epoch(tmp_path):
     )
     assert gstep >= 4  # interrupted inside the second epoch
     assert last_epoch == 1
+
+
+def test_r1_shared_forward_matches_standalone_grad2():
+    """The au phase's R1 penalty rides the loss's own forward via jax.vjp
+    (torch parity: compute_grad2 double-backwards through the graph that
+    produced d_real). It must equal the standalone grad2_penalty closure,
+    and the fused pass's out_real must equal the standalone score path."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.data.episodic import (
+        normalize_uint8,
+    )
+    from optimalstrategiesagainstgenerativeattacks_tpu.ops.spectral import (
+        compute_sigmas,
+    )
+    from optimalstrategiesagainstgenerativeattacks_tpu.train.losses import (
+        grad2_penalty,
+    )
+
+    cfg = _cfg(reg_param=3.0, batch_size=2)
+    au, im = _models(cfg)
+    state, *_ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(5))
+    batch = _batch(cfg, seed=7)
+    real = normalize_uint8(jnp.asarray(batch["real_sample"]))
+    si = normalize_uint8(jnp.asarray(batch["si_sample"]))
+    fake = jnp.tanh(real[:, ::-1] * 0.5)  # any detached "fake" tensor
+
+    sigmas = compute_sigmas(state.params_au, state.spectral_au)
+    variables = itrain._au_variables(state.params_au, state.spectral_au, sigmas)
+
+    def score_real(r, s):
+        return au.apply(variables, r, s, False)
+
+    ref = np.asarray(jax.jit(grad2_penalty, static_argnums=0)(score_real, (real, si)))
+
+    def fused(r, s):
+        return itrain._au_outputs(
+            au, state.params_au, state.spectral_au, r, fake, s, sigmas
+        )
+
+    @jax.jit
+    def shared(r, s):
+        (out_real, out_fake), score_vjp = jax.vjp(fused, r, s)
+        g_r, g_s = score_vjp((jnp.ones_like(out_real), jnp.zeros_like(out_fake)))
+        b = r.shape[0]
+        pen = (
+            jnp.square(g_r.astype(jnp.float32)).reshape(b, -1).sum(axis=1)
+            + jnp.square(g_s.astype(jnp.float32)).reshape(b, -1).sum(axis=1)
+        )
+        return pen, out_real
+
+    pen, out_real = shared(real, si)
+    np.testing.assert_allclose(np.asarray(pen), ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_real), np.asarray(score_real(real, si)), rtol=1e-5, atol=1e-6
+    )
