@@ -45,3 +45,23 @@ def test_save_args_accepts_namespace(tmp_path):
     ns = argparse.Namespace(img_size=32, k=5)
     save_args(ns, str(tmp_path))
     assert load_args(str(tmp_path))["k"] == 5
+
+
+def test_resolve_ckpt_path_falls_back_to_outdir(tmp_path):
+    """'-r ckpts/model_XXXXXXXX' must work from any launch directory: a
+    relative path that doesn't exist from the cwd resolves against the
+    experiment outdir (the two silent FileNotFoundError launches of the
+    round-3 flag100k resume are the regression this guards)."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.train.checkpoints import (
+        resolve_ckpt_path,
+    )
+
+    outdir = tmp_path / "exp"
+    ckpt = outdir / "ckpts" / "model_00000100"
+    ckpt.mkdir(parents=True)
+    # relative, not under cwd -> resolved against outdir
+    assert resolve_ckpt_path("ckpts/model_00000100", str(outdir)) == str(ckpt)
+    # absolute paths pass through untouched
+    assert resolve_ckpt_path(str(ckpt), "/nonexistent") == str(ckpt)
+    # nonexistent everywhere passes through (caller errors with the raw path)
+    assert resolve_ckpt_path("ckpts/model_00000999", str(outdir)) == "ckpts/model_00000999"

@@ -25,9 +25,13 @@ def _cfg(**kw):
 
 
 def _models(cfg):
-    au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim)
+    # thread the pair-unroll knob so the whole suite (incl. the DP/TP
+    # sharding-equivalence tests) exercises whatever the config default is
+    au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim,
+                        unroll_encoder_pair=cfg.unroll_encoder_pair)
     im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim,
-                        use_img_att=cfg.use_img_att)
+                        use_img_att=cfg.use_img_att,
+                        unroll_encoder_pair=cfg.unroll_encoder_pair)
     return au, im
 
 
