@@ -249,6 +249,12 @@ class Img2ImgAdaInResModule(nn.Module):
     dtype: Optional[Dtype] = None
     scan_blocks: bool = True
     im2col_convs: bool = False
+    # lax.scan unroll factor: >1 repeats the (single traced) body in the
+    # loop HLO, letting XLA pipeline across consecutive res blocks at the
+    # cost of a bigger program. Distinct from scan_blocks=False (which
+    # traces n_blocks separate modules and OOMed the remote compile
+    # server at flagship scale, round 2).
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x, style, update_sn: bool = False):
@@ -259,6 +265,7 @@ class Img2ImgAdaInResModule(nn.Module):
                 split_rngs={"params": True},
                 length=self.n_blocks,
                 in_axes=(nn.broadcast, nn.broadcast),
+                unroll=self.scan_unroll,
             )
             x, _ = scan(
                 channels=self.style_dim, style_dim=self.style_dim, dtype=self.dtype,
@@ -325,6 +332,7 @@ class AdaInImage2Image(nn.Module):
     dtype: Optional[Dtype] = None
     scan_adain_blocks: bool = True
     adain_im2col: bool = False
+    adain_scan_unroll: int = 1
 
     def setup(self):
         self.down_block = Img2ImgDownModule(
@@ -338,6 +346,7 @@ class AdaInImage2Image(nn.Module):
             style_dim=self.style_dim, n_blocks=self.n_adain_res_blocks,
             dtype=self.dtype, scan_blocks=self.scan_adain_blocks,
             im2col_convs=self.adain_im2col,
+            scan_unroll=self.adain_scan_unroll,
         )
         self.adain_up_block = Img2ImgAdaInUpModule(
             img_size=self.img_size,
@@ -479,10 +488,18 @@ class GIMFaceImpersonator(nn.Module):
                  update_sn: bool = False, z: Optional[jnp.ndarray] = None):
         batch_size, m = leaked_sample.shape[0], leaked_sample.shape[1]
         h, w_, c = leaked_sample.shape[2:]
-        # broadcast first leaked image to n (reference :367)
+        # broadcast first leaked image to n (reference :367); cast to the
+        # compute dtype HERE so the channel-concat with the (bf16) env
+        # decoder output below stays bf16 — an f32 participant promotes
+        # the concat and forces a separate f32->bf16 relayout of the
+        # [B*n, H, W, 2C] tensor whose tiny channel dim tiles at T(2,128)
+        # (profiled at 4.5 ms/step flagship, round 3). The first img2img
+        # conv casts its input to this dtype anyway: exact same math.
         expanded_img = jnp.broadcast_to(
             leaked_sample[:, 0:1], (batch_size, n, h, w_, c)
         )
+        if self.dtype is not None:
+            expanded_img = expanded_img.astype(self.dtype)
 
         src_e, env_e = self.encoders(
             leaked_sample.reshape(batch_size * m, h, w_, c), update_sn
@@ -539,6 +556,7 @@ def get_im(
     scan_adain_blocks: bool = True,
     adain_im2col: bool = False,
     unroll_encoder_pair: bool = False,
+    adain_scan_unroll: int = 1,
 ) -> GIMFaceImpersonator:
     """Factory matching ``gim_img_models.get_im:429-449``."""
     encoders = EncoderPair(
@@ -556,6 +574,7 @@ def get_im(
         dtype=dtype,
         scan_adain_blocks=scan_adain_blocks,
         adain_im2col=adain_im2col,
+        adain_scan_unroll=adain_scan_unroll,
     )
     env_noise_mapper = MLP(
         [style_dim for _ in range(num_env_noise_layers + 1)], dtype=dtype

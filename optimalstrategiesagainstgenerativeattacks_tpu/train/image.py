@@ -721,6 +721,7 @@ def train_gim_imgs(
         use_img_att=cfg.use_img_att, num_env_noise_layers=cfg.num_env_noise_layers,
         dtype=dtype, scan_adain_blocks=cfg.scan_adain_blocks,
         adain_im2col=cfg.adain_im2col,
+        adain_scan_unroll=cfg.adain_scan_unroll,
         unroll_encoder_pair=cfg.unroll_encoder_pair,
     )
     logger = logger or Logger(
@@ -772,10 +773,46 @@ def train_gim_imgs(
     train_eval_indices = list(range(0, len(train_ds), max(1, len(train_ds) // 10)))
     val_eval_indices = list(range(0, len(val_ds), max(1, len(val_ds) // 10)))
 
-    loader = EpisodicBatchLoader(
-        train_ds, batch_size=train_bs, shuffle=True, drop_last=True,
-        num_workers=cfg.num_workers, seed=cfg.seed,
-    )
+    # device-resident sampling when possible: the whole uniform-count
+    # dataset is staged into HBM once and batches are assembled by a jitted
+    # on-device gather — zero image bytes cross the (slow) host link per
+    # step (data/device_sampler.py). Multi-device runs keep the host
+    # loader (its batches shard over the mesh's data axis in the
+    # prefetcher).
+    single_device = mesh is None or getattr(mesh, "size", 1) == 1
+    if cfg.device_data == "on" and not single_device:
+        raise ValueError(
+            "device_data='on' is single-device only; multi-device runs "
+            "shard host-loader batches over the mesh's data axis"
+        )
+    use_device_data = cfg.device_data != "off" and single_device
+    loader = None
+    if use_device_data:
+        cache = None
+        if hasattr(train_ds, "stacked_cache"):
+            cache = train_ds.stacked_cache()
+        if cache is not None:
+            from optimalstrategiesagainstgenerativeattacks_tpu.data.device_sampler import (
+                DeviceEpisodicLoader,
+            )
+
+            loader = DeviceEpisodicLoader(
+                train_ds, batch_size=train_bs, seed=cfg.seed
+            )
+            print(
+                f"device-resident dataset: {cache.nbytes / 1e6:.0f} MB uint8 "
+                f"staged to HBM ({cache.shape[0]} classes x {cache.shape[1]})"
+            )
+        elif cfg.device_data == "on":
+            raise ValueError(
+                "device_data='on' but the dataset has no uniform stacked "
+                "cache (unequal images per class?)"
+            )
+    if loader is None:
+        loader = EpisodicBatchLoader(
+            train_ds, batch_size=train_bs, shuffle=True, drop_last=True,
+            num_workers=cfg.num_workers, seed=cfg.seed,
+        )
 
     sample_rng = jax.random.PRNGKey(cfg.seed + 17)
     # Per-step metrics accumulate into a DEVICE-side [log_every, K] buffer
@@ -855,7 +892,10 @@ def train_gim_imgs(
         nonlocal log_buf, buf_count
         loader.set_epoch(ep)
         num_iters = 50 if cfg.dbg else len(loader)
-        batch_iter = device_prefetch(iter(loader), mesh, depth=cfg.prefetch_depth)
+        if type(loader).__name__ == "DeviceEpisodicLoader":
+            batch_iter = iter(loader)  # batches are already device-resident
+        else:
+            batch_iter = device_prefetch(iter(loader), mesh, depth=cfg.prefetch_depth)
         for batch_idx, batch in enumerate(batch_iter):
                 if batch_idx >= num_iters:
                     break

@@ -132,6 +132,12 @@ class ImageGameConfig:
     log_enc_every: int = 500      # tb_log_enc_every
     compute_dtype: str = "bfloat16"
     prefetch_depth: int = 2
+    # device-resident episodic sampling (data/device_sampler.py): stage the
+    # whole uniform-count dataset into HBM once and assemble every batch
+    # with a jitted on-device gather — zero image bytes cross the host link
+    # per step. 'auto' uses it single-device whenever the dataset has a
+    # uniform stacked cache; 'on' requires it; 'off' keeps the host loader.
+    device_data: str = "auto"
     # nn.scan over the 5 AdaIN res blocks: one traced body (small HLO, fast
     # remote compile). False unrolls them — bigger program, lets XLA
     # pipeline across blocks
@@ -139,6 +145,10 @@ class ImageGameConfig:
     # lower the res-stage 3x3 convs as im2col dense matmuls (the 4x4x512
     # maps underfill lax.conv's sublane tiling); identical params/ckpts
     adain_im2col: bool = False
+    # lax.scan unroll factor for the AdaIN res stack (>1 repeats the single
+    # traced body in the loop HLO so XLA can pipeline across blocks);
+    # exact identity (tests), bigger program
+    adain_scan_unroll: int = 1
     # apply the src/env encoder twins as two full-width passes over sliced
     # stacked params instead of one vmapped (group-2 conv) pass; identical
     # params/ckpts, bigger HLO. Default ON: measured on-chip (round 3)

@@ -1,19 +1,22 @@
 #!/usr/bin/env python
-"""Summarise a jax.profiler trace dir: top device ops by self time.
+"""Summarise a jax.profiler trace dir: top device ops by accumulated time.
 
-Usage: python scripts/parse_profile.py /tmp/prof_dir [--top 30]
+Usage: PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
+       python scripts/parse_profile.py /tmp/prof_dir [--top 30] [--steps 5]
 
-Reads the newest ``*.xplane.pb`` under ``<dir>/plugins/profile/*/`` with the
-tensorboard profile plugin's converter and prints one line per op (self-time
-totals across the captured steps), plus per-category rollups — the quick
-"where do the milliseconds go" view used for the round-3 perf passes.
+Parses the newest ``*.xplane.pb`` directly (the tensorboard profile
+plugin's native converter doesn't match this image's TF build) and prints
+the "XLA Ops" line of the TPU device plane aggregated by op name, plus
+rollups by fusion kind — the quick "where do the milliseconds go" view
+used for the round-3 perf passes.  Times are divided by ``--steps`` (the
+number of train steps captured; perf_step.py captures 5).
 """
 
 import argparse
+import collections
 import glob
-import json
 import os
-import sys
+import re
 
 
 def find_xplane(trace_dir: str) -> str:
@@ -30,51 +33,53 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("trace_dir")
     p.add_argument("--top", type=int, default=30)
+    p.add_argument("--steps", type=int, default=5,
+                   help="train steps captured in the trace (divisor)")
+    p.add_argument("--group", action="store_true",
+                   help="group ops whose names differ only in a trailing "
+                        "number (fusion.123 -> fusion)")
     args = p.parse_args()
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    xplane = find_xplane(args.trace_dir)
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplane], "framework_op_stats^", {"tqx": "out:json"}
-    )
-    if isinstance(data, bytes):
-        data = data.decode()
-    table = json.loads(data)["table"]
-    cols = [c["label"] for c in table["cols"]]
-    rows = [[c.get("v") for c in r["c"]] for r in table["rows"]]
+    xs = xplane_pb2.XSpace()
+    with open(find_xplane(args.trace_dir), "rb") as f:
+        xs.ParseFromString(f.read())
 
-    def col(name):
-        return cols.index(name)
+    tpu_planes = [pl for pl in xs.planes if "/device:TPU" in pl.name]
+    if not tpu_planes:
+        raise SystemExit(f"no TPU plane; planes: {[pl.name for pl in xs.planes]}")
 
-    # column labels vary slightly across plugin versions; resolve leniently
-    def find_col(*cands):
-        for c in cands:
-            if c in cols:
-                return cols.index(c)
-        raise SystemExit(f"none of {cands} in {cols}")
+    for plane in tpu_planes:
+        meta = {m.id: m.name for m in plane.event_metadata.values()}
+        totals = collections.Counter()
+        counts = collections.Counter()
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                if args.group:
+                    name = re.sub(r"[.\d]+$", "", name)
+                totals[name] += ev.duration_ps
+                counts[name] += 1
+        total_ms = sum(totals.values()) / 1e9
+        print(f"== {plane.name}: XLA Ops busy {total_ms:.2f} ms total, "
+              f"{total_ms / args.steps:.2f} ms/step over {args.steps} steps")
+        print(f"{'ms/step':>9} {'%':>5} {'calls':>6}  op")
+        for name, ps in totals.most_common(args.top):
+            print(
+                f"{ps / 1e9 / args.steps:9.3f} {100 * ps / (total_ms * 1e9):5.1f} "
+                f"{counts[name] // args.steps:6d}  {name[:100]}"
+            )
 
-    i_name = find_col("Operation", "Op name", "Name")
-    i_self = find_col(
-        "Total self time (us)", "Self time (us)", "Total self-time (us)"
-    )
-    i_cat = find_col("Type", "Category", "Op type")
-
-    rows = [r for r in rows if r[i_self]]
-    rows.sort(key=lambda r: -float(r[i_self]))
-    total = sum(float(r[i_self]) for r in rows)
-    print(f"total device self time: {total/1e3:.2f} ms (all captured steps)")
-    print(f"{'self_ms':>9} {'%':>5}  {'category':<18} op")
-    for r in rows[: args.top]:
-        ms = float(r[i_self]) / 1e3
-        print(f"{ms:9.3f} {100*float(r[i_self])/total:5.1f}  {str(r[i_cat]):<18} {str(r[i_name])[:90]}")
-
-    cats = {}
-    for r in rows:
-        cats[r[i_cat]] = cats.get(r[i_cat], 0.0) + float(r[i_self])
-    print("\nby category:")
-    for k, v in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print(f"{v/1e3:9.3f} {100*v/total:5.1f}  {k}")
+        kinds = collections.Counter()
+        for name, ps in totals.items():
+            kind = re.split(r"[.\d]", name, 1)[0]
+            kinds[kind] += ps
+        print("\nby op kind (ms/step):")
+        for kind, ps in kinds.most_common(15):
+            print(f"{ps / 1e9 / args.steps:9.3f} {100 * ps / (total_ms * 1e9):5.1f}  {kind}")
 
 
 if __name__ == "__main__":

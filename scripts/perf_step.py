@@ -32,6 +32,7 @@ def compute_flops(args, cfg, itrain, imodels):
     im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
                         scan_adain_blocks=cfg.scan_adain_blocks,
                         adain_im2col=cfg.adain_im2col,
+                        adain_scan_unroll=cfg.adain_scan_unroll,
                         unroll_encoder_pair=cfg.unroll_encoder_pair)
     state = jax.eval_shape(
         lambda k: itrain.create_state(cfg, au, im, k)[0], jax.random.PRNGKey(0)
@@ -74,6 +75,8 @@ def main():
                    help="unroll the AdaIN res blocks instead of nn.scan")
     p.add_argument("--im2col", action="store_true",
                    help="lower the AdaIN res-stage convs as dense matmuls")
+    p.add_argument("--scan-unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the AdaIN res stack")
     p.add_argument("--flatten", action="store_true",
                    help="optax.flatten the optimizers (measured slower r3)")
     p.add_argument("--stack-opt", action="store_true",
@@ -119,6 +122,7 @@ def main():
         compute_dtype="bfloat16", inject_lr=True,
         scan_adain_blocks=not args.no_scan,
         adain_im2col=args.im2col,
+        adain_scan_unroll=args.scan_unroll,
         flatten_opt=args.flatten,
         stack_opt=args.stack_opt,
         unroll_encoder_pair=args.unroll_pair,
@@ -136,6 +140,7 @@ def main():
     im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
                         scan_adain_blocks=cfg.scan_adain_blocks,
                         adain_im2col=cfg.adain_im2col,
+                        adain_scan_unroll=cfg.adain_scan_unroll,
                         unroll_encoder_pair=cfg.unroll_encoder_pair)
     if args.compile_only:
         state = jax.eval_shape(

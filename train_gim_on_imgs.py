@@ -63,6 +63,13 @@ def get_args():
                         help="encoder-diagnostic cadence (reference tb_log_enc_every)")
     parser.add_argument("--compute_dtype", default="bfloat16",
                         help="bfloat16 (TPU default) or float32")
+    parser.add_argument("--device_data", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="stage the whole dataset into device HBM and "
+                             "sample episodes with a jitted on-device gather "
+                             "(zero host->device image traffic per step); "
+                             "'auto' uses it when the dataset is uniform and "
+                             "the run is single-device")
     parser.add_argument("--unroll_encoder_pair", type=lambda x: bool(int(x)), default=True,
                         help="apply the src/env encoder twins as two full-width "
                              "conv passes instead of one vmapped group-2 pass "
