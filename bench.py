@@ -118,8 +118,13 @@ def main():
             reg_param=reg_param,
         )
         dtype = jnp.bfloat16
-        au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
-        im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype)
+        au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
+                            unroll_encoder_pair=cfg.unroll_encoder_pair)
+        im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
+                            scan_adain_blocks=cfg.scan_adain_blocks,
+                            adain_im2col=cfg.adain_im2col,
+                            adain_scan_unroll=cfg.adain_scan_unroll,
+                            unroll_encoder_pair=cfg.unroll_encoder_pair)
         state, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
         # the two-phase split step: numerically identical to the monolithic
         # one, but each phase is a half-size XLA program — the monolithic
@@ -186,6 +191,11 @@ def main():
     # 197e12 (public spec)
     tflops_per_step, flops_provenance = derive_tflops_per_step(cfg)
 
+    # free the flagship's HBM before the vox arm: its params + opt state +
+    # device-resident batches alongside the vox R1 grad-of-grad activations
+    # exceed the chip's HBM (measured RESOURCE_EXHAUSTED, round 3)
+    del state, metrics, step_fn, batches
+
     # second tracked config: the VoxCeleb2 shape (64x64x3, reg_param=10 —
     # exercises the R1 grad-of-grad path). Compile-cached; best-effort so a
     # compile-server hiccup can't take down the primary metric.
@@ -236,6 +246,10 @@ def main():
             "mfu_vs_v5e_bf16_peak": round(v_tflops * 1e12 * v_sps / 197e12, 3),
         }
     except Exception:
+        # stdout must stay one JSON line; the reason goes to stderr
+        import traceback
+
+        traceback.print_exc()
         vox = None
 
     print(
