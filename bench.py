@@ -124,7 +124,8 @@ def main():
                             scan_adain_blocks=cfg.scan_adain_blocks,
                             adain_im2col=cfg.adain_im2col,
                             adain_scan_unroll=cfg.adain_scan_unroll,
-                            unroll_encoder_pair=cfg.unroll_encoder_pair)
+                            unroll_encoder_pair=cfg.unroll_encoder_pair,
+                            split_gen_input=cfg.split_gen_input)
         state, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
         # the two-phase split step: numerically identical to the monolithic
         # one, but each phase is a half-size XLA program — the monolithic

@@ -180,6 +180,7 @@ def _restore_gim_state(ckpt_path: str, args_dict: dict):
         dtype=dtype, scan_adain_blocks=cfg.scan_adain_blocks,
         adain_im2col=cfg.adain_im2col,
         unroll_encoder_pair=cfg.unroll_encoder_pair,
+        split_gen_input=cfg.split_gen_input,
     )
     template, _, _, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
     cio = CheckpointIO(os.path.dirname(ckpt_path))

@@ -480,6 +480,12 @@ class GIMFaceImpersonator(nn.Module):
     img_channels: int
     use_img_att: bool = False
     dtype: Optional[Dtype] = None
+    # feed the img2img input as the (env_img, leaked) channel pair instead
+    # of their concatenation: the entry convs consume the pair with sliced
+    # kernels (exact algebra, identical params — see nn.blocks.SNConv), and
+    # XLA drops the leaked channels' input-gradient conv, which at 2C
+    # output channels wastes nearly the whole MXU (4.5 ms/step flagship)
+    split_gen_input: bool = True
 
     def setup(self):
         self.img_att = ImgAttention(img1_channels=self.img_channels, dtype=self.dtype)
@@ -521,7 +527,10 @@ class GIMFaceImpersonator(nn.Module):
             noisy_env.reshape(batch_size * n, self.style_dim), update_sn
         )
         env_img = env_img.reshape(batch_size, n, *env_img.shape[1:])
-        env_img = jnp.concatenate([env_img, expanded_img], axis=-1)  # channel concat
+        if self.split_gen_input:
+            env_img = (env_img, expanded_img)  # virtual channel concat
+        else:
+            env_img = jnp.concatenate([env_img, expanded_img], axis=-1)
 
         x = self.generate_img(env_img=env_img, src=src, update_sn=update_sn)
 
@@ -535,14 +544,14 @@ class GIMFaceImpersonator(nn.Module):
         return x
 
     def generate_img(self, env_img, src, update_sn: bool = False):
-        """[B, n, H, W, 2C], [B, style] -> [B, n, H, W, C]."""
-        batch_size, n = env_img.shape[0], env_img.shape[1]
+        """[B, n, H, W, 2C] (or a channel-part tuple), [B, style] -> [B, n, H, W, C]."""
+        parts = env_img if isinstance(env_img, tuple) else (env_img,)
+        batch_size, n = parts[0].shape[0], parts[0].shape[1]
         style = jnp.broadcast_to(
             src[:, None, :], (batch_size, n, self.style_dim)
         ).reshape(batch_size * n, self.style_dim)
-        gen = self.img2img(
-            env_img.reshape(batch_size * n, *env_img.shape[2:]), style, update_sn
-        )
+        flat = tuple(p.reshape(batch_size * n, *p.shape[2:]) for p in parts)
+        gen = self.img2img(flat if len(flat) > 1 else flat[0], style, update_sn)
         return gen.reshape(batch_size, n, *gen.shape[1:])
 
 
@@ -557,6 +566,7 @@ def get_im(
     adain_im2col: bool = False,
     unroll_encoder_pair: bool = False,
     adain_scan_unroll: int = 1,
+    split_gen_input: bool = True,
 ) -> GIMFaceImpersonator:
     """Factory matching ``gim_img_models.get_im:429-449``."""
     encoders = EncoderPair(
@@ -588,6 +598,7 @@ def get_im(
         img_channels=img_channels,
         use_img_att=use_img_att,
         dtype=dtype,
+        split_gen_input=split_gen_input,
     )
 
 

@@ -200,7 +200,24 @@ class SNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
-        in_ch = x.shape[-1]
+        # x may be a TUPLE of tensors whose channel dims sum to the conv's
+        # input width: conv(concat(parts), K) is then computed as the sum
+        # of per-part convs with kernel slices — exact linear algebra,
+        # identical parameters/state.  The point is gradient DCE: with the
+        # concat formulation XLA must emit ONE input-gradient convolution
+        # covering every channel, even for parts that carry no gradient
+        # (the broadcast leaked image concatenated into the img2img input,
+        # ``gim_img_models.py:395-399``) — and at 2 output channels that
+        # conv wastes nearly the whole MXU (profiled 4.5 ms/step flagship,
+        # 5.1 ms vox, round 3). Split, the dead part's gradient vanishes.
+        parts = tuple(x) if isinstance(x, (tuple, list)) else None
+        if parts is not None:
+            assert self.upscale == 1 and self.downscale == 1 and not self.im2col, (
+                "tuple input is supported on the plain conv path only"
+            )
+            in_ch = sum(p.shape[-1] for p in parts)
+        else:
+            in_ch = x.shape[-1]
         ks = self.kernel_size
         kernel = self.param(
             "kernel", self.kernel_init, (ks, ks, in_ch, self.features), jnp.float32
@@ -296,6 +313,17 @@ class SNConv(nn.Module):
             y = (cols.reshape(-1, fan) @ kf.reshape(fan, self.features)).reshape(
                 x.shape[0], ho, wo, self.features
             )
+        elif parts is not None:
+            y = None
+            off = 0
+            for p in parts:
+                c = p.shape[-1]
+                yp = _conv2d(
+                    p, kernel_sn[:, :, off : off + c], self.stride, self.padding,
+                    self.dtype,
+                )
+                y = yp if y is None else y + yp
+                off += c
         else:
             y = _conv2d(x, kernel_sn, self.stride, self.padding, self.dtype)
         if self.use_bias:
@@ -669,15 +697,19 @@ class ResBlockDown(nn.Module):
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
+        # x may be a tuple of channel-concat parts (see SNConv): pooling and
+        # leaky_relu act per pixel/channel, so they commute with the concat
+        # and apply per part; the two entry convs consume the tuple directly
+        parts = isinstance(x, (tuple, list))
         # pool BEFORE the 1x1 skip conv: a 1x1 conv commutes exactly with
         # average pooling (both linear, per-pixel), and pooling first cuts
         # the conv's FLOPs and — the real cost at [B*, 32, 32, C] — its
         # HBM write traffic by 4x (torch order: conv then pool, :492-506)
         res = SNConv(self.out_channels, 1, padding=0, dtype=self.dtype, name="conv_l1")(
-            avg_pool2d(x), update_sn
+            tuple(avg_pool2d(p) for p in x) if parts else avg_pool2d(x), update_sn
         )
 
-        out = leaky_relu(x)
+        out = tuple(leaky_relu(p) for p in x) if parts else leaky_relu(x)
         out = SNConv(
             self.out_channels, self.conv_size, padding=self.padding, dtype=self.dtype, name="conv_r1"
         )(out, update_sn)

@@ -45,7 +45,14 @@ def avg_pool2d(x: jnp.ndarray, window: int = 2, stride: int | None = None) -> jn
     """Average pooling over NHWC with a square window (valid padding)."""
     stride = stride or window
     if stride == window:
-        return _window_view(x, window).mean(axis=(2, 4))
+        # accumulate in the INPUT dtype: jnp.mean's default f32 upcast of a
+        # bfloat16 input gets hoisted by XLA into the producer fusion, which
+        # then materialises a full f32 copy of the upstream conv output to
+        # HBM next to the bf16 one (profiled at ~1.9 ms per down block per
+        # encoder at flagship, ~3.8 ms at vox shapes, round 3). A 2x2 mean
+        # of four bf16 values loses nothing the game's bf16 compute path
+        # hasn't already given up; float32 inputs are unaffected.
+        return _window_view(x, window).mean(axis=(2, 4), dtype=x.dtype)
     out = lax.reduce_window(
         x.astype(jnp.float32),
         0.0,

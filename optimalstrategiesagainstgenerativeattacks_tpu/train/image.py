@@ -138,6 +138,27 @@ def create_state(cfg: ImageGameConfig, au, im, rng: jax.Array):
 ########################################################################################################################
 
 
+def _batch_prep_fn(cfg: ImageGameConfig, mesh=None):
+    """uint8 batch -> normalised images in the game's COMPUTE dtype.
+
+    Normalisation runs in f32 (exact), then casts once.  Casting here
+    instead of inside the first conv is bit-identical for every conv input
+    (each SN conv casts to the compute dtype anyway) but keeps the image
+    batches' dtypes uniform: a bf16 fake concatenated with f32 real/si in
+    ``encode_flat`` promotes the whole image-space chain — activations AND
+    cotangents — to f32 (profiled ~4 ms/step flagship, ~9 ms vox, round 3).
+    The R1 penalty is also unaffected: the cast's vjp converts the bf16
+    image cotangent to f32 exactly, so the squared-gradient sum sees the
+    same values.
+    """
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def prep(x):
+        return constrain_data(normalize_uint8(x).astype(dt), mesh)
+
+    return prep
+
+
 def _au_variables(params_au, spectral_au, sigmas_au=None):
     variables = {"params": params_au, "spectral": spectral_au}
     if sigmas_au is not None:
@@ -332,10 +353,12 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
         }
         return new_params_au, new_spec_au, new_opt, metrics
 
+    _prep = _batch_prep_fn(cfg, mesh)
+
     @jax.jit
     def prep(batch):
         return tuple(
-            constrain_data(normalize_uint8(batch[k]), mesh)
+            _prep(batch[k])
             for k in ("real_sample", "leaked_sample", "si_sample")
         )
 
@@ -389,12 +412,14 @@ def make_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
         else None
     )
 
+    _prep = _batch_prep_fn(cfg, mesh)
+
     def train_step(state: GameState, batch):
         step = state.step + 1
         rng, k_noise = jax.random.split(jax.random.fold_in(state.rng, step))
-        real = constrain_data(normalize_uint8(batch["real_sample"]), mesh)
-        leaked = constrain_data(normalize_uint8(batch["leaked_sample"]), mesh)
-        si = constrain_data(normalize_uint8(batch["si_sample"]), mesh)
+        real = _prep(batch["real_sample"])
+        leaked = _prep(batch["leaked_sample"])
+        si = _prep(batch["si_sample"])
 
         # ---- impersonator: train when (step+1) % n_au_steps == 0 (:225-232)
         sigmas_au_frozen = jax.lax.stop_gradient(
@@ -529,10 +554,12 @@ def make_eval_step(cfg: ImageGameConfig, au, im, mesh=None):
     """No-grad eval step (``gim_img_training.py:76-95``): im + au forwards
     in eval mode (no SN updates, no param changes)."""
 
+    _prep = _batch_prep_fn(cfg, mesh)
+
     def eval_step(state: GameState, batch, rng):
-        real = constrain_data(normalize_uint8(batch["real_sample"]), mesh)
-        leaked = constrain_data(normalize_uint8(batch["leaked_sample"]), mesh)
-        si = constrain_data(normalize_uint8(batch["si_sample"]), mesh)
+        real = _prep(batch["real_sample"])
+        leaked = _prep(batch["leaked_sample"])
+        si = _prep(batch["si_sample"])
 
         sigmas_im = compute_sigmas(state.params_im, state.spectral_im)
         sigmas_au = compute_sigmas(state.params_au, state.spectral_au)
@@ -583,9 +610,11 @@ def make_sample_fn(cfg: ImageGameConfig, im):
 def make_diag_fn(cfg: ImageGameConfig, au, mesh=None):
     """Encoder-statistic diagnostics (``gim_img_training.py:301-340``)."""
 
+    _prep = _batch_prep_fn(cfg, mesh)
+
     def diag(state: GameState, batch, fake):
-        real = constrain_data(normalize_uint8(batch["real_sample"]), mesh)
-        si = constrain_data(normalize_uint8(batch["si_sample"]), mesh)
+        real = _prep(batch["real_sample"])
+        si = _prep(batch["si_sample"])
         variables = {"params": state.params_au, "spectral": state.spectral_au}
 
         def enc(sample, method):
@@ -723,6 +752,7 @@ def train_gim_imgs(
         adain_im2col=cfg.adain_im2col,
         adain_scan_unroll=cfg.adain_scan_unroll,
         unroll_encoder_pair=cfg.unroll_encoder_pair,
+        split_gen_input=cfg.split_gen_input,
     )
     logger = logger or Logger(
         log_dir=os.path.join(cfg.outdir, "logs"),

@@ -149,6 +149,11 @@ class ImageGameConfig:
     # traced body in the loop HLO so XLA can pipeline across blocks);
     # exact identity (tests), bigger program
     adain_scan_unroll: int = 1
+    # feed the img2img entry convs the (env_img, leaked) channel pair
+    # instead of their concatenation (exact algebra on sliced kernels,
+    # identical params/ckpts): XLA drops the leaked channels' MXU-hostile
+    # input-gradient conv. See models.image.GIMFaceImpersonator
+    split_gen_input: bool = True
     # apply the src/env encoder twins as two full-width passes over sliced
     # stacked params instead of one vmapped (group-2 conv) pass; identical
     # params/ckpts, bigger HLO. Default ON: measured on-chip (round 3)

@@ -33,7 +33,8 @@ def compute_flops(args, cfg, itrain, imodels):
                         scan_adain_blocks=cfg.scan_adain_blocks,
                         adain_im2col=cfg.adain_im2col,
                         adain_scan_unroll=cfg.adain_scan_unroll,
-                        unroll_encoder_pair=cfg.unroll_encoder_pair)
+                        unroll_encoder_pair=cfg.unroll_encoder_pair,
+                        split_gen_input=cfg.split_gen_input)
     state = jax.eval_shape(
         lambda k: itrain.create_state(cfg, au, im, k)[0], jax.random.PRNGKey(0)
     )
@@ -90,6 +91,12 @@ def main():
                         "group-2 A/B arm")
     p.add_argument("--bf16-matvec", action="store_true",
                    help="spectral power-iteration matvecs in bf16")
+    p.add_argument("--split-gen", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="feed img2img the (env, leaked) channel pair — exact "
+                        "kernel-slice split of the entry convs, same params; "
+                        "XLA then drops the leaked channels' input-gradient "
+                        "conv. --no-split-gen for the concat A/B arm")
     p.add_argument("--compile-only", action="store_true",
                    help="lower+compile the phases (warms the persistent "
                         "cache via the remote compile server) and exit "
@@ -127,6 +134,7 @@ def main():
         stack_opt=args.stack_opt,
         unroll_encoder_pair=args.unroll_pair,
         bf16_spectral=args.bf16_matvec,
+        split_gen_input=args.split_gen,
     )
     if args.flops_cpu:
         flops = compute_flops(args, cfg, itrain, imodels)
@@ -141,7 +149,8 @@ def main():
                         scan_adain_blocks=cfg.scan_adain_blocks,
                         adain_im2col=cfg.adain_im2col,
                         adain_scan_unroll=cfg.adain_scan_unroll,
-                        unroll_encoder_pair=cfg.unroll_encoder_pair)
+                        unroll_encoder_pair=cfg.unroll_encoder_pair,
+                        split_gen_input=cfg.split_gen_input)
     if args.compile_only:
         state = jax.eval_shape(
             lambda k: itrain.create_state(cfg, au, im, k)[0], jax.random.PRNGKey(0)
