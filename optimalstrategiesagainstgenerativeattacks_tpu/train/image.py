@@ -404,8 +404,39 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
     return train_step
 
 
-def make_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
-    """Build the single-step train function (jit with donated state)."""
+def build_models(cfg: ImageGameConfig):
+    """(au, im) model pair from a config — the single place the perf knobs
+    (encoder-pair unroll, AdaIN scan, split generator input) are threaded."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.models import image as imodels
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    remat = cfg.remat_encoders == "on" or (
+        cfg.remat_encoders == "auto" and cfg.img_size >= 64
+    )
+    au = imodels.get_au(
+        img_size=cfg.img_size, img_channels=cfg.img_channels, style_dim=cfg.style_dim,
+        dtype=dtype, unroll_encoder_pair=cfg.unroll_encoder_pair,
+        remat_encoders=remat, remat_depth=cfg.remat_depth,
+    )
+    im = imodels.get_im(
+        img_size=cfg.img_size, img_channels=cfg.img_channels, style_dim=cfg.style_dim,
+        use_img_att=cfg.use_img_att, num_env_noise_layers=cfg.num_env_noise_layers,
+        dtype=dtype, scan_adain_blocks=cfg.scan_adain_blocks,
+        adain_im2col=cfg.adain_im2col,
+        adain_scan_unroll=cfg.adain_scan_unroll,
+        unroll_encoder_pair=cfg.unroll_encoder_pair,
+        split_gen_input=cfg.split_gen_input,
+        remat_encoders=remat, remat_depth=cfg.remat_depth,
+    )
+    return au, im
+
+
+def make_train_step_fn(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
+    """Build the PURE (unjitted) single-step train function.
+
+    ``make_train_step`` wraps it in ``jax.jit`` with donated state for
+    normal training; ``train/multiseed.py`` instead ``jax.vmap``s it over a
+    stacked seed axis to train many independent games in one program."""
     mv_dtype = (
         jnp.bfloat16
         if (cfg.compute_dtype == "bfloat16" and cfg.bf16_spectral)
@@ -547,7 +578,15 @@ def make_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
         )
         return new_state, metrics, fake
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
+    """Build the single-step train function (jit with donated state)."""
+    return jax.jit(
+        make_train_step_fn(cfg, au, im, opt_au, opt_im, mesh),
+        donate_argnums=(0,),
+    )
 
 
 def make_eval_step(cfg: ImageGameConfig, au, im, mesh=None):
@@ -740,20 +779,10 @@ def train_gim_imgs(
     from optimalstrategiesagainstgenerativeattacks_tpu.train.logger import Logger
     from optimalstrategiesagainstgenerativeattacks_tpu.train.state import num_parameters
 
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    au = au if au is not None else imodels.get_au(
-        img_size=cfg.img_size, img_channels=cfg.img_channels, style_dim=cfg.style_dim,
-        dtype=dtype, unroll_encoder_pair=cfg.unroll_encoder_pair,
-    )
-    im = im if im is not None else imodels.get_im(
-        img_size=cfg.img_size, img_channels=cfg.img_channels, style_dim=cfg.style_dim,
-        use_img_att=cfg.use_img_att, num_env_noise_layers=cfg.num_env_noise_layers,
-        dtype=dtype, scan_adain_blocks=cfg.scan_adain_blocks,
-        adain_im2col=cfg.adain_im2col,
-        adain_scan_unroll=cfg.adain_scan_unroll,
-        unroll_encoder_pair=cfg.unroll_encoder_pair,
-        split_gen_input=cfg.split_gen_input,
-    )
+    if au is None or im is None:
+        built_au, built_im = build_models(cfg)
+        au = au if au is not None else built_au
+        im = im if im is not None else built_im
     logger = logger or Logger(
         log_dir=os.path.join(cfg.outdir, "logs"),
         img_dir=os.path.join(cfg.outdir, "imgs"),
