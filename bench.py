@@ -82,6 +82,8 @@ def derive_tflops_per_step(cfg) -> tuple:
                 "--img", str(cfg.img_size), "--channels", str(cfg.img_channels),
                 "--style", str(cfg.style_dim), "--m", str(cfg.m),
                 "--n", str(cfg.n), "--k", str(cfg.k), "--reg", str(cfg.reg_param),
+                # algorithmic FLOPs: remat recompute must not inflate MFU
+                "--remat", "off",
             ],
             capture_output=True, text=True, timeout=1200,
         )
@@ -117,15 +119,7 @@ def main():
             compute_dtype="bfloat16", inject_lr=inject_lr,
             reg_param=reg_param,
         )
-        dtype = jnp.bfloat16
-        au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
-                            unroll_encoder_pair=cfg.unroll_encoder_pair)
-        im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
-                            scan_adain_blocks=cfg.scan_adain_blocks,
-                            adain_im2col=cfg.adain_im2col,
-                            adain_scan_unroll=cfg.adain_scan_unroll,
-                            unroll_encoder_pair=cfg.unroll_encoder_pair,
-                            split_gen_input=cfg.split_gen_input)
+        au, im = itrain.build_models(cfg)
         state, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
         # the two-phase split step: numerically identical to the monolithic
         # one, but each phase is a half-size XLA program — the monolithic

@@ -66,16 +66,37 @@ class Encoder(nn.Module):
     min_n_channels: int = 64
     use_out_lrelu: bool = True
     dtype: Optional[Dtype] = None
+    # rematerialise each block in the backward pass: stored activations
+    # shrink to one block-input tensor per block (instead of every
+    # intra-block conv/stat intermediate) at the cost of one extra block
+    # forward during backprop.  HBM headroom for the big-image games —
+    # the 64x64x3 R1 config's au phase differentiates a 1920-image encoder
+    # batch twice (grad-of-grad) and sits at the 16 GB edge (round 3).
+    remat: bool = False
+    # with remat on, rematerialise only the first `remat_depth` blocks
+    # (-1 = all).  The early, large-spatial blocks hold most of the stored
+    # activations AND most of the recompute FLOPs — the depth knob picks a
+    # point on that memory/speed line.
+    remat_depth: int = -1
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
         n_down, channels, att_loc = _down_channel_schedule(
             self.img_size, self.img_channels, self.style_dim, self.min_n_channels
         )
+        # argnum 0 is the module instance; 2 is the static update_sn bool
+        AttR = nn.remat(SelfAttention, static_argnums=(2,))
+        DownR = nn.remat(ResBlockDown, static_argnums=(2,))
+
+        def on(i):
+            return self.remat and (self.remat_depth < 0 or i < self.remat_depth)
+
         for i in range(n_down):
             if i == att_loc:
-                x = SelfAttention(dtype=self.dtype, name="att")(x, update_sn)
-            x = ResBlockDown(channels[i + 1], dtype=self.dtype, name=f"down_{i}")(
+                x = (AttR if on(i) else SelfAttention)(
+                    dtype=self.dtype, name="att")(x, update_sn)
+            x = (DownR if on(i) else ResBlockDown)(
+                channels[i + 1], dtype=self.dtype, name=f"down_{i}")(
                 x, update_sn
             )
         x = adaptive_max_pool(x)
@@ -111,6 +132,8 @@ class EncoderPair(nn.Module):
     use_out_lrelu: bool = True
     dtype: Optional[Dtype] = None
     unroll_pair: bool = False
+    remat: bool = False
+    remat_depth: int = -1
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
@@ -130,6 +153,8 @@ class EncoderPair(nn.Module):
             min_n_channels=self.min_n_channels,
             use_out_lrelu=self.use_out_lrelu,
             dtype=self.dtype,
+            remat=self.remat,
+            remat_depth=self.remat_depth,
             name="enc",
         )
         if self.unroll_pair and not self.is_initializing():
@@ -147,6 +172,8 @@ class EncoderPair(nn.Module):
                 min_n_channels=self.min_n_channels,
                 use_out_lrelu=self.use_out_lrelu,
                 dtype=self.dtype,
+                remat=self.remat,
+                remat_depth=self.remat_depth,
             )
             outs = []
             for i in range(2):
@@ -567,11 +594,14 @@ def get_im(
     unroll_encoder_pair: bool = False,
     adain_scan_unroll: int = 1,
     split_gen_input: bool = True,
+    remat_encoders: bool = False,
+    remat_depth: int = -1,
 ) -> GIMFaceImpersonator:
     """Factory matching ``gim_img_models.get_im:429-449``."""
     encoders = EncoderPair(
         img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype,
-        unroll_pair=unroll_encoder_pair,
+        unroll_pair=unroll_encoder_pair, remat=remat_encoders,
+        remat_depth=remat_depth,
     )
     decoder = EnvDecoder(
         img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype
@@ -605,6 +635,8 @@ def get_im(
 def get_au(
     img_size: int, img_channels: int, style_dim: int, dtype: Optional[Dtype] = None,
     unroll_encoder_pair: bool = False,
+    remat_encoders: bool = False,
+    remat_depth: int = -1,
 ) -> GIMFaceAuthenticator:
     """Factory matching ``gim_img_models.get_au:452-463``."""
     stat = MeanStdFcStat(
@@ -616,6 +648,7 @@ def get_au(
     dis = GIMFaceDis(src_dim=style_dim, env_dim=style_dim, stat=stat, dtype=dtype)
     encoders = EncoderPair(
         img_size=img_size, img_channels=img_channels, style_dim=style_dim, dtype=dtype,
-        unroll_pair=unroll_encoder_pair,
+        unroll_pair=unroll_encoder_pair, remat=remat_encoders,
+        remat_depth=remat_depth,
     )
     return GIMFaceAuthenticator(encoders=encoders, dis=dis)

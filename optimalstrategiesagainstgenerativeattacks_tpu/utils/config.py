@@ -181,6 +181,23 @@ class ImageGameConfig:
     # (halves the kernel-group HBM read in bf16 games); off by default:
     # measured a wash in isolation (161.0 vs 161.8 ms/step flagship, round 3)
     bf16_spectral: bool = False
+    # rematerialise the encoder blocks in backward passes (identical math;
+    # stored activations shrink to one tensor per block at the cost of one
+    # extra block forward in backprop).  'auto' turns it on for the
+    # big-image games (img_size >= 64).  Measured ledger for the tracked
+    # vox config (64x64x3, B128, reg 10; au_phase temp by XLA
+    # memory_analysis, round 3): pre-r3 program 14.27 GB — ran with
+    # <0.7 GB margin; r3 program without remat 15.12 GB — runtime OOM;
+    # remat_depth=2 14.57 GB — still OOM; full remat 11.7 GB — runs at
+    # 520.4 ms/step vs the cliff-edge program's 466.9.  The config is
+    # structurally at the 16 GB edge, so every program revision rolled
+    # the buffer-assignment dice; 'auto' trades 11% step time for ~3 GB
+    # of guaranteed headroom. 'on'/'off' force it.
+    remat_encoders: str = "auto"
+    # with remat on, rematerialise only the first N encoder blocks
+    # (-1 = all).  Depth 2 measured insufficient at the vox config (see
+    # the ledger above); kept for other geometries.
+    remat_depth: int = -1
     # stack same-(shape,dtype) param leaves before the Adam elementwise ops
     # (one kernel per shape group instead of per leaf; singleton groups
     # pass through copy-free). Exact semantics; changes the opt-state

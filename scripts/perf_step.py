@@ -26,15 +26,7 @@ def compute_flops(args, cfg, itrain, imodels):
     import jax
     import jax.numpy as jnp
 
-    dtype = jnp.bfloat16
-    au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
-                        unroll_encoder_pair=cfg.unroll_encoder_pair)
-    im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
-                        scan_adain_blocks=cfg.scan_adain_blocks,
-                        adain_im2col=cfg.adain_im2col,
-                        adain_scan_unroll=cfg.adain_scan_unroll,
-                        unroll_encoder_pair=cfg.unroll_encoder_pair,
-                        split_gen_input=cfg.split_gen_input)
+    au, im = itrain.build_models(cfg)
     state = jax.eval_shape(
         lambda k: itrain.create_state(cfg, au, im, k)[0], jax.random.PRNGKey(0)
     )
@@ -97,6 +89,13 @@ def main():
                         "kernel-slice split of the entry convs, same params; "
                         "XLA then drops the leaked channels' input-gradient "
                         "conv. --no-split-gen for the concat A/B arm")
+    p.add_argument("--remat", default="auto", choices=["auto", "on", "off"],
+                   help="rematerialise encoder blocks in backward passes "
+                        "(auto: on at img_size >= 64 — HBM headroom for the "
+                        "big-image R1 game)")
+    p.add_argument("--remat-depth", type=int, default=-1,
+                   help="with remat on, rematerialise only the first N "
+                        "encoder blocks (-1 = all)")
     p.add_argument("--compile-only", action="store_true",
                    help="lower+compile the phases (warms the persistent "
                         "cache via the remote compile server) and exit "
@@ -135,6 +134,8 @@ def main():
         unroll_encoder_pair=args.unroll_pair,
         bf16_spectral=args.bf16_matvec,
         split_gen_input=args.split_gen,
+        remat_encoders=args.remat,
+        remat_depth=args.remat_depth,
     )
     if args.flops_cpu:
         flops = compute_flops(args, cfg, itrain, imodels)
@@ -142,15 +143,7 @@ def main():
                           "config": f"B{cfg.batch_size} img{cfg.img_size} "
                                     f"style{cfg.style_dim}"}))
         return
-    dtype = jnp.bfloat16
-    au = imodels.get_au(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
-                        unroll_encoder_pair=cfg.unroll_encoder_pair)
-    im = imodels.get_im(cfg.img_size, cfg.img_channels, cfg.style_dim, dtype=dtype,
-                        scan_adain_blocks=cfg.scan_adain_blocks,
-                        adain_im2col=cfg.adain_im2col,
-                        adain_scan_unroll=cfg.adain_scan_unroll,
-                        unroll_encoder_pair=cfg.unroll_encoder_pair,
-                        split_gen_input=cfg.split_gen_input)
+    au, im = itrain.build_models(cfg)
     if args.compile_only:
         state = jax.eval_shape(
             lambda k: itrain.create_state(cfg, au, im, k)[0], jax.random.PRNGKey(0)

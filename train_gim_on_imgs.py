@@ -75,6 +75,12 @@ def get_args():
                              "conv passes instead of one vmapped group-2 pass "
                              "(same params/ckpts; measured 7-9%% faster per step "
                              "on TPU at both tracked configs — pass 0 to disable)")
+    parser.add_argument("--remat_encoders", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="rematerialise encoder blocks in backward passes "
+                             "(identical math, ~one extra block forward in "
+                             "backprop); 'auto' = on at img_size >= 64, where "
+                             "the R1 game's peak HBM sits at the 16 GB edge")
     parser.add_argument("--stack_opt", type=lambda x: bool(int(x)), default=False,
                         help="shape-grouped optimizer-leaf stacking (one Adam "
                              "kernel per (shape,dtype) group; exact semantics, "
