@@ -163,6 +163,141 @@ def _fold_kernel_for_downscale2(kernel):
     return (kp[:-1, :-1] + kp[1:, :-1] + kp[:-1, 1:] + kp[1:, 1:]) * 0.25
 
 
+# ---------------------------------------------------------------------------
+# Matmul lowerings for MXU-hostile conv geometries (round 3) — measured on
+# the chip and REJECTED as defaults; kept as opt-in env knobs.
+#
+# XLA's TPU conv emitter falls back to batch-in-lanes codegen whenever the
+# produced feature dim (output channels in forward, input channels in the
+# input-gradient) sits far below the 128-lane MXU width; those convs then run
+# ~25x off roofline (profiled 12.3 ms of the 148 ms flagship step: the
+# 1/2-channel entry-conv input-gradients, the to-image 9x9 forward, and the
+# attention C/8 1x1 projections).  Three exact rewrites keep the work on the
+# MXU.  All are plain jnp (matmul + pad + slice), so autodiff derives equally
+# MXU-friendly backward AND higher-order derivatives (the R1 grad-of-grad
+# path differentiates them twice) — deliberately NOT a custom_vjp.
+#
+# On-chip A/B (same warm cache, device-resident batches, round 3):
+#   flagship (B128 img32x1 style512):  147.9 ms/step lax.conv baseline
+#     -> 166.9 ms all three lowerings on, 161.5 ms without im2col — the
+#     im2col cols (ks^2 blow-up) and the 81-slice shift-add epilogues cost
+#     more HBM traffic than the batch-in-lanes kernels they replace, which
+#     overlap with the wide convs' MXU time anyway.
+#   vox (B128 img64x3 reg=10, grad-of-grad): 477.7 -> 1163.3 ms/step — the
+#     doubly-differentiated concat/slice chains materialise enormous
+#     intermediates under the R1 penalty.
+# Defaults are therefore OFF (identical programs to the lax.conv path);
+# enable individually with OSGA_LOWER_1X1 / OSGA_LOWER_IM2COL /
+# OSGA_LOWER_SMALL_COUT=1.  Identity + grad + grad-of-grad pins stay in
+# tests/test_blocks.py (they force the flags on).
+# ---------------------------------------------------------------------------
+
+_SMALLC = 8
+
+
+def _cast2(x, kernel, dtype):
+    if dtype is not None:
+        return x.astype(dtype), kernel.astype(dtype)
+    return x.astype(kernel.dtype), kernel
+
+
+def _conv1x1_matmul(x, kernel, dtype):
+    """1x1 stride-1 conv == per-pixel matmul (exact; same contraction).
+
+    The conv emitter is batch-in-lanes at out_ch < 128 — the attention C/8
+    projections cost ~1 ms each at flagship — while the reshaped matmul is
+    layout-friendly at any width.
+    """
+    h, k = _cast2(x, kernel, dtype)
+    lead = h.shape[:-1]
+    y = h.reshape(-1, h.shape[-1]) @ k.reshape(k.shape[2], k.shape[3])
+    return y.reshape(*lead, k.shape[3])
+
+
+def _conv2d_im2col(x, kernel, padding, dtype):
+    """stride-1 conv with small in_ch as ONE im2col matmul (exact).
+
+    cols blow up by ks*ks, but at in_ch <= _SMALLC that is small next to
+    the wide-output activations.  The real win is the input gradient:
+    d(cols) = dy @ K^T is a ks*ks*in_ch-column MXU matmul where lax.conv's
+    input-gradient at in_ch<=2 is a batch-in-lanes conv (4.7 ms for the
+    img2img entry pair + 2.1 ms for the encoder entry, flagship profile).
+    """
+    h, k = _cast2(x, kernel, dtype)
+    ks = kernel.shape[0]
+    p = padding
+    if p:
+        h = jnp.pad(h, ((0, 0), (p, p), (p, p), (0, 0)))
+    ho = x.shape[1] + 2 * p - ks + 1
+    wo = x.shape[2] + 2 * p - ks + 1
+    # concat order (dy, dx, channel) == HWIO kernel reshape order
+    cols = jnp.concatenate(
+        [h[:, dy : dy + ho, dx : dx + wo, :] for dy in range(ks) for dx in range(ks)],
+        axis=-1,
+    )
+    fan = ks * ks * kernel.shape[2]
+    y = cols.reshape(-1, fan) @ k.reshape(fan, kernel.shape[3])
+    return y.reshape(x.shape[0], ho, wo, kernel.shape[3])
+
+
+def _shift_add(m, ks, padding, co):
+    """out[b,q,o] = sum_t m[b, q + t - padding, t*co + o] (zero outside) —
+    the tap sum completing a stencil-matmul conv; accumulates in f32 like
+    the MXU loop it replaces."""
+    b, h, w, _ = m.shape
+    p = padding
+    mp = jnp.pad(m, ((0, 0), (p, p), (p, p), (0, 0))) if p else m
+    ho = h + 2 * p - ks + 1
+    wo = w + 2 * p - ks + 1
+    acc = None
+    for ty in range(ks):
+        for tx in range(ks):
+            t = ty * ks + tx
+            s = mp[:, ty : ty + ho, tx : tx + wo, t * co : (t + 1) * co]
+            s = s.astype(jnp.float32)
+            acc = s if acc is None else acc + s
+    return acc.astype(m.dtype)
+
+
+def _conv2d_small_cout(x, kernel, padding, dtype, upscale: int = 1):
+    """stride-1 conv with small out_ch as channel matmul + tap shift-add.
+
+    M[b,r,(t,o)] = x[b,r,:] @ K[t,:,o] runs the whole channel contraction
+    on the MXU (ks*ks*out_ch output columns); the remaining tap sum is an
+    HBM-roofline slice-add fusion.  With upscale=2 the per-pixel matmul
+    commutes with nearest upsampling, so M is computed at LOW resolution
+    and upsampled — the lhs-dilated folded conv at out_ch=1 (the img2img
+    to-image 9x9) was a 1.4 ms/step batch-in-lanes op.
+    """
+    h, k = _cast2(x, kernel, dtype)
+    ks, _, ci, co = kernel.shape
+    m = h.reshape(-1, ci) @ k.transpose(2, 0, 1, 3).reshape(ci, ks * ks * co)
+    m = m.reshape(x.shape[0], x.shape[1], x.shape[2], ks * ks * co)
+    if upscale == 2:
+        m = upscale2d(m)
+    return _shift_add(m, ks, padding, co)
+
+
+import os as _os
+
+_L_1X1 = _os.environ.get("OSGA_LOWER_1X1", "0") == "1"
+_L_IM2COL = _os.environ.get("OSGA_LOWER_IM2COL", "0") == "1"
+_L_SMALL_COUT = _os.environ.get("OSGA_LOWER_SMALL_COUT", "0") == "1"
+
+
+def _conv2d_auto(x, kernel, stride, padding, dtype):
+    """Matmul lowerings for the MXU-hostile geometries; lax.conv otherwise."""
+    ks, _, ci, co = kernel.shape
+    if stride == 1:
+        if ks == 1 and padding == 0 and _L_1X1:
+            return _conv1x1_matmul(x, kernel, dtype)
+        if ci <= _SMALLC and _L_IM2COL:
+            return _conv2d_im2col(x, kernel, padding, dtype)
+        if co <= _SMALLC and _L_SMALL_COUT:
+            return _conv2d_small_cout(x, kernel, padding, dtype)
+    return _conv2d(x, kernel, stride, padding, dtype)
+
+
 class SNConv(nn.Module):
     """Spectrally-normalised conv: kernel / sigma(kernel), NHWC.
 
@@ -255,7 +390,15 @@ class SNConv(nn.Module):
                 v = lax.stop_gradient(v_var.value)
             sigma = jnp.dot(u, w_mat @ v)  # grads flow through w_mat
         kernel_sn = kernel / sigma
-        if self.upscale == 2:
+        if self.upscale == 2 and self.features <= _SMALLC and _L_SMALL_COUT:
+            assert self.stride == 1
+            # conv(nearest_up2(x), K) with a small output width: stencil
+            # matmul at LOW resolution (the per-pixel channel contraction
+            # commutes with nearest upsampling), upsample M, tap shift-add
+            y = _conv2d_small_cout(
+                x, kernel_sn, self.padding, self.dtype, upscale=2
+            )
+        elif self.upscale == 2:
             assert self.stride == 1
             kf = _fold_kernel_for_upscale2(kernel_sn)
             h = x
@@ -318,14 +461,14 @@ class SNConv(nn.Module):
             off = 0
             for p in parts:
                 c = p.shape[-1]
-                yp = _conv2d(
+                yp = _conv2d_auto(
                     p, kernel_sn[:, :, off : off + c], self.stride, self.padding,
                     self.dtype,
                 )
                 y = yp if y is None else y + yp
                 off += c
         else:
-            y = _conv2d(x, kernel_sn, self.stride, self.padding, self.dtype)
+            y = _conv2d_auto(x, kernel_sn, self.stride, self.padding, self.dtype)
         if self.use_bias:
             bias_init = self.bias_init or torch_bias_init(fan)
             bias = self.param("bias", bias_init, (self.features,), jnp.float32)

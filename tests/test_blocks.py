@@ -280,3 +280,120 @@ def test_snconv_im2col_matches_conv(rng):
     g_mat = jax.grad(lambda p: (m_mat.apply({**v, "params": p}, x, False) ** 2).sum())(v["params"])
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_mat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Matmul lowerings for MXU-hostile conv geometries (round 3):
+# blocks._conv2d_auto can dispatch 1x1 / small-in_ch / small-out_ch stride-1
+# convs to exact matmul formulations.  Measured SLOWER end-to-end on the chip
+# (see the evidence block above _conv1x1_matmul) so the flags default OFF;
+# these tests force them on and identity-pin every lowering against lax.conv,
+# including gradients and the grad-of-grad the R1 penalty needs, so the
+# opt-in knobs stay correct.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(autouse=False)
+def lowerings_on(monkeypatch):
+    monkeypatch.setattr(blocks, "_L_1X1", True)
+    monkeypatch.setattr(blocks, "_L_IM2COL", True)
+    monkeypatch.setattr(blocks, "_L_SMALL_COUT", True)
+
+
+def _ref_conv(x, k, stride=1, padding=0):
+    return blocks._conv2d(x, k, stride, padding, None)
+
+
+@pytest.mark.parametrize(
+    "ci,co,ks,pad",
+    [
+        (1, 128, 9, 4),   # encoder / img2img entry conv (small in_ch)
+        (3, 64, 9, 4),    # vox entry conv
+        (128, 1, 9, 4),   # to-image conv (small out_ch)
+        (64, 2, 3, 1),    # small out_ch, 3x3
+        (1, 1, 3, 1),     # last up-block conv_r2
+        (256, 32, 1, 0),  # attention C/8 1x1 projection
+        (4, 6, 1, 0),     # 1x1, both small
+    ],
+)
+def test_conv2d_auto_matches_lax_conv(rng, lowerings_on, ci, co, ks, pad):
+    kx, kk = jax.random.split(rng)
+    x = jax.random.normal(kx, (2, 12, 12, ci), jnp.float32)
+    k = jax.random.normal(kk, (ks, ks, ci, co), jnp.float32) / ks
+    out = blocks._conv2d_auto(x, k, 1, pad, None)
+    ref = _ref_conv(x, k, 1, pad)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("ci,co,ks,pad", [(1, 16, 9, 4), (24, 1, 9, 4)])
+def test_conv2d_auto_gradients_match(rng, lowerings_on, ci, co, ks, pad):
+    """d/dx and d/dk of the matmul lowerings == those of lax.conv."""
+    kx, kk, kg = jax.random.split(rng, 3)
+    x = jax.random.normal(kx, (2, 10, 10, ci), jnp.float32)
+    k = jax.random.normal(kk, (ks, ks, ci, co), jnp.float32) / ks
+    cot = jax.random.normal(kg, (2, 10, 10, co), jnp.float32)
+
+    def loss(fn, x, k):
+        return (fn(x, k) * cot).sum()
+
+    gx_a, gk_a = jax.grad(
+        lambda x, k: loss(lambda a, b: blocks._conv2d_auto(a, b, 1, pad, None), x, k),
+        argnums=(0, 1),
+    )(x, k)
+    gx_r, gk_r = jax.grad(
+        lambda x, k: loss(lambda a, b: _ref_conv(a, b, 1, pad), x, k), argnums=(0, 1)
+    )(x, k)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_r), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gk_a), np.asarray(gk_r), atol=3e-4)
+
+
+def test_conv2d_auto_grad_of_grad(rng, lowerings_on):
+    """The lowerings are plain jnp ops, so the R1 grad-of-grad path (second
+    differentiation through the entry convs) must work and match lax.conv."""
+    kx, kk = jax.random.split(rng)
+    x = jax.random.normal(kx, (2, 8, 8, 1), jnp.float32)
+    k = jax.random.normal(kk, (3, 3, 1, 16), jnp.float32) / 3
+
+    def make_penalty(fn):
+        def score(x, k):
+            return (fn(x, k, 1, 1, None) ** 2).sum()
+
+        def penalty(k):
+            g = jax.grad(score, argnums=0)(x, k)
+            return (g ** 2).sum()
+
+        return penalty
+
+    p_a = make_penalty(blocks._conv2d_auto)
+    p_r = make_penalty(blocks._conv2d)
+    np.testing.assert_allclose(float(p_a(k)), float(p_r(k)), rtol=1e-5)
+    ga = jax.grad(p_a)(k)
+    gr = jax.grad(p_r)(k)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), rtol=1e-4, atol=1e-4)
+
+
+def test_snconv_upscale_small_cout_matches_explicit(rng, lowerings_on):
+    """SNConv(upscale=2, features<=_SMALLC) takes the stencil-matmul path;
+    it must equal SNConv applied to the explicitly upsampled input."""
+    for ks, pad in ((3, 1), (9, 4)):
+        m_ref = blocks.SNConv(features=2, kernel_size=ks, padding=pad)
+        m_fold = blocks.SNConv(features=2, kernel_size=ks, padding=pad, upscale=2)
+        x = jax.random.normal(jax.random.fold_in(rng, ks), (2, 5, 5, 24))
+        v = m_ref.init(rng, upscale2d(x))
+        ref = m_ref.apply(v, upscale2d(x), False)
+        out = m_fold.apply(v, x, False)
+        assert out.shape == ref.shape == (2, 10, 10, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_snconv_parts_small_cin_matches_concat(rng, lowerings_on):
+    """Tuple-input SNConv (im2col per part) == the same conv on the concat."""
+    m = blocks.SNConv(features=32, kernel_size=9, padding=4)
+    x1 = jax.random.normal(jax.random.fold_in(rng, 0), (2, 10, 10, 1))
+    x2 = jax.random.normal(jax.random.fold_in(rng, 1), (2, 10, 10, 1))
+    xc = jnp.concatenate([x1, x2], axis=-1)
+    v = m.init(rng, xc)
+    ref = m.apply(v, xc, False)
+    out = m.apply(v, (x1, x2), False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -132,8 +132,12 @@ def test_per_seed_lr_scales_updates():
             for a, b in zip(jax.tree.leaves(new), jax.tree.leaves(old))
         ])
 
+    # Mask well above f32 cancellation noise: updates are read back as
+    # (new - old) with old ~O(1e-1) params, so differences below ~1e-8 are
+    # rounding, not signal (first-step Adam updates are ~lr except where the
+    # gradient is ~0, where the ratio is meaningless anyway).
     du = [updates(ms_state.params_au, init_au, i) for i in range(2)]
-    mask = np.abs(du[0]) > 1e-9
+    mask = np.abs(du[0]) > 1e-6
     assert mask.any()
     np.testing.assert_allclose(
         du[1][mask] / du[0][mask], lrs_au[1] / lrs_au[0], rtol=2e-2,
@@ -144,7 +148,7 @@ def test_per_seed_lr_scales_updates():
     for (path, a), b in zip(flat_new, flat_old):
         d0 = np.asarray(a, np.float32)[0] - np.asarray(b, np.float32)
         d1 = np.asarray(a, np.float32)[1] - np.asarray(b, np.float32)
-        m = np.abs(d0).ravel() > 1e-9
+        m = np.abs(d0).ravel() > 1e-6
         if not m.any():
             continue
         is_noise = "env_noise_mapper" in jax.tree_util.keystr(path)
