@@ -218,6 +218,111 @@ def _au_outputs(au, params_au, spectral_au, real, fake, si, sigmas_au=None):
     return out_real, out_fake
 
 
+def _make_au_loss_fn(cfg: ImageGameConfig, au, new_spec_au):
+    """Per-(sub)batch authenticator loss closure shared by the microbatched
+    update paths.  Same math as the inline ``au_loss_fn`` in the
+    full-batch paths (R1 shares the loss forward via ``jax.vjp``)."""
+
+    def au_loss_fn(p_au, fake, real, si):
+        sigmas_au = compute_sigmas(p_au, new_spec_au)
+        if cfg.reg_param > 0:
+            def fused(r, s):
+                return _au_outputs(au, p_au, new_spec_au, r, fake, s, sigmas_au)
+
+            (out_real, out_fake), score_vjp = jax.vjp(fused, real, si)
+            g_real, g_si = score_vjp(
+                (jnp.ones_like(out_real), jnp.zeros_like(out_fake))
+            )
+            b = real.shape[0]
+            reg = cfg.reg_param * (
+                jnp.square(g_real.astype(jnp.float32)).reshape(b, -1).sum(axis=1)
+                + jnp.square(g_si.astype(jnp.float32)).reshape(b, -1).sum(axis=1)
+            )
+        else:
+            out_real, out_fake = _au_outputs(
+                au, p_au, new_spec_au, real, fake, si, sigmas_au
+            )
+            reg = None
+        loss_on_real = bce_with_logits(out_real, 1.0)
+        loss_on_fake = bce_with_logits(out_fake, 0.0)
+        if reg is None:
+            reg = jnp.zeros_like(loss_on_real)
+        loss = (loss_on_real + loss_on_fake + reg).mean()
+        return loss, (loss_on_real, loss_on_fake, reg, out_real, out_fake)
+
+    return au_loss_fn
+
+
+_AU_METRIC_ORDER = (
+    "au_loss", "au_loss_on_real", "au_loss_on_fake", "au_reg",
+    "au_out_on_real", "au_out_on_fake", "au_acc", "au_acc_on_real",
+    "au_acc_on_fake",
+)
+
+
+def _au_microbatch_grads(cfg: ImageGameConfig, au, params_au, new_spec_au,
+                         fake, real, si):
+    """Gradients + metrics of the authenticator loss with the batch split
+    into ``cfg.au_microbatch`` sequential chunks (``lax.scan`` over full
+    fwd+bwd per chunk, gradients accumulated).
+
+    Exact semantics: per-sample losses are meaned per chunk and chunk
+    gradients averaged, which equals the full-batch mean for equal chunk
+    sizes (floating-point reassociation aside).  Activation memory scales
+    1/c while FLOPs stay algorithmic — unlike encoder remat, which buys
+    the same HBM headroom by recomputing forwards (~11% step time at the
+    vox config).  The per-chunk re-read of the parameters and the extra
+    ``compute_sigmas`` evaluations are HBM-trivial next to the activations.
+    """
+    c = cfg.au_microbatch
+    b = real.shape[0]
+    if b % c != 0:
+        raise ValueError(f"au_microbatch={c} must divide the batch size {b}")
+    au_loss_fn = _make_au_loss_fn(cfg, au, new_spec_au)
+    grad_fn = jax.value_and_grad(au_loss_fn, has_aux=True)
+
+    def chunked(x):
+        return x.reshape(c, b // c, *x.shape[1:])
+
+    def body(g_acc, xs):
+        f, r, s = xs
+        (loss, aux), g = grad_fn(params_au, f, r, s)
+        loss_on_real, loss_on_fake, reg, out_real, out_fake = aux
+        acc, acc_on_real, acc_on_fake = gan_accuracy(out_real, out_fake)
+        ms = jnp.stack(
+            [
+                loss, loss_on_real.mean(), loss_on_fake.mean(), reg.mean(),
+                out_real.mean(), out_fake.mean(), acc, acc_on_real,
+                acc_on_fake,
+            ]
+        ).astype(jnp.float32)
+        return jax.tree.map(jnp.add, g_acc, g), ms
+
+    grads_sum, ms = jax.lax.scan(
+        body,
+        jax.tree.map(jnp.zeros_like, params_au),
+        (chunked(fake), chunked(real), chunked(si)),
+    )
+    grads = jax.tree.map(lambda g: g / c, grads_sum)
+    m = ms.mean(axis=0)
+    metrics = {k: m[i] for i, k in enumerate(_AU_METRIC_ORDER)}
+    return grads, metrics
+
+
+def _au_microbatch_update(cfg: ImageGameConfig, au, opt_au, mv_dtype,
+                          params_au, spectral_au, opt_au_state,
+                          fake, real, si):
+    """Microbatched authenticator update: ``_au_microbatch_grads`` then ONE
+    optimizer step.  Returns (new_params_au, new_spec_au, new_opt, metrics)."""
+    new_spec_au = power_iterate(params_au, spectral_au, matvec_dtype=mv_dtype)
+    grads, metrics = _au_microbatch_grads(
+        cfg, au, params_au, new_spec_au, fake, real, si
+    )
+    updates, new_opt = opt_au.update(grads, opt_au_state, params_au)
+    new_params_au = optax.apply_updates(params_au, updates)
+    return new_params_au, new_spec_au, new_opt, metrics
+
+
 ########################################################################################################################
 # Train / eval steps
 ########################################################################################################################
@@ -298,6 +403,17 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
         return new_params_im, new_spec_im, new_opt_im, im_loss, jax.lax.stop_gradient(fake), im_trained, rng
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def au_phase_microbatched(params_au, spectral_au, opt_au_state, fake, real, si):
+        new_params_au, new_spec_au, new_opt, metrics = _au_microbatch_update(
+            cfg, au, opt_au, mv_dtype,
+            params_au, spectral_au, opt_au_state, fake, real, si,
+        )
+        return new_params_au, new_spec_au, new_opt, metrics
+
+    # NOTE: the full-batch phase keeps the name ``au_phase`` — the jit name
+    # lands in the HLO module name and thus the persistent compile-cache
+    # key; renaming it would orphan every cached flagship program.
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def au_phase(params_au, spectral_au, opt_au_state, fake, real, si):
         new_spec_au = power_iterate(params_au, spectral_au, matvec_dtype=mv_dtype)
 
@@ -352,6 +468,9 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
             "au_acc_on_fake": acc_on_fake,
         }
         return new_params_au, new_spec_au, new_opt, metrics
+
+    if cfg.au_microbatch > 1:
+        au_phase = au_phase_microbatched
 
     _prep = _batch_prep_fn(cfg, mesh)
 
@@ -511,6 +630,27 @@ def make_train_step_fn(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
 
         # ---- authenticator on the detached fake (:237-239, detach :166)
         fake = jax.lax.stop_gradient(fake)
+        if cfg.au_microbatch > 1:
+            new_params_au, new_spectral_au, new_opt_au, au_metrics = (
+                _au_microbatch_update(
+                    cfg, au, opt_au, mv_dtype,
+                    state.params_au, state.spectral_au, state.opt_au,
+                    fake, real, si,
+                )
+            )
+            metrics = dict(au_metrics)
+            metrics["im_loss"] = im_loss
+            metrics["im_trained"] = im_trained
+            return state.replace(
+                step=step,
+                params_au=new_params_au,
+                params_im=new_params_im,
+                spectral_au=new_spectral_au,
+                spectral_im=new_spectral_im,
+                opt_au=new_opt_au,
+                opt_im=new_opt_im,
+                rng=rng,
+            ), metrics, fake
         new_spectral_au = power_iterate(state.params_au, state.spectral_au, matvec_dtype=mv_dtype)
 
         def au_loss_fn(params_au):

@@ -198,6 +198,14 @@ class ImageGameConfig:
     # (-1 = all).  Depth 2 measured insufficient at the vox config (see
     # the ledger above); kept for other geometries.
     remat_depth: int = -1
+    # split the authenticator update's batch into this many sequential
+    # chunks (lax.scan: full fwd+bwd per chunk, gradients accumulated, one
+    # optimizer step). Exact semantics — chunk-mean averaging equals the
+    # full-batch mean for equal chunks; activation memory scales 1/c at
+    # algorithmic FLOPs, unlike encoder remat which recomputes forwards.
+    # Must divide batch_size. Built for the big-image R1 games whose
+    # au_phase sits at the 16 GB HBM cliff (see remat_encoders).
+    au_microbatch: int = 1
     # stack same-(shape,dtype) param leaves before the Adam elementwise ops
     # (one kernel per shape group instead of per leaf; singleton groups
     # pass through copy-free). Exact semantics; changes the opt-state

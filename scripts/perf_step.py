@@ -19,6 +19,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 V5E_PEAK_BF16 = 197e12
 
 
+def _print_memory_analysis(name, compiled):
+    """Compiled-program HBM footprint (argument/output/temp/peak), when the
+    backend exposes it — the number that decides remat/microbatch policy
+    for the big-image R1 games (the chip has 16 GB)."""
+    try:
+        ma = compiled.memory_analysis()
+        if ma is None:
+            return
+        gb = 1 / 1e9
+        print(
+            f"  {name} memory: args {ma.argument_size_in_bytes * gb:.2f} GB, "
+            f"out {ma.output_size_in_bytes * gb:.2f} GB, "
+            f"temp {ma.temp_size_in_bytes * gb:.2f} GB, "
+            f"peak {getattr(ma, 'peak_memory_in_bytes', 0) * gb:.2f} GB",
+            flush=True,
+        )
+    except Exception as e:
+        print(f"  {name} memory_analysis unavailable: {e}", flush=True)
+
+
 def compute_flops(args, cfg, itrain, imodels):
     """FLOPs/step via ``eval_shape`` + ``Lowered.cost_analysis`` — traces the
     two phases without compiling or executing anything (run with
@@ -96,6 +116,10 @@ def main():
     p.add_argument("--remat-depth", type=int, default=-1,
                    help="with remat on, rematerialise only the first N "
                         "encoder blocks (-1 = all)")
+    p.add_argument("--au-microbatch", type=int, default=1,
+                   help="sequential batch chunks for the authenticator "
+                        "update (grad accumulation; exact). The FLOP-free "
+                        "alternative to --remat for big-image R1 HBM")
     p.add_argument("--compile-only", action="store_true",
                    help="lower+compile the phases (warms the persistent "
                         "cache via the remote compile server) and exit "
@@ -136,6 +160,7 @@ def main():
         split_gen_input=args.split_gen,
         remat_encoders=args.remat,
         remat_depth=args.remat_depth,
+        au_microbatch=args.au_microbatch,
     )
     if args.flops_cpu:
         flops = compute_flops(args, cfg, itrain, imodels)
@@ -163,8 +188,9 @@ def main():
         jax.eval_shape(step_fn, state, batch)
         for name, phase in step_fn.phases.items():
             t1 = time.perf_counter()
-            phase.lower(*step_fn.arg_specs[name]).compile()
+            compiled = phase.lower(*step_fn.arg_specs[name]).compile()
             print(f"compiled {name} in {time.perf_counter() - t1:.1f}s", flush=True)
+            _print_memory_analysis(name, compiled)
         return
     state, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
     if args.monolithic:
@@ -193,6 +219,13 @@ def main():
     state, metrics, _ = step_fn(state, batches[0])
     print(f"first step (compile) done in {time.perf_counter() - t0:.1f}s "
           f"au_loss={float(metrics['au_loss']):.4f}", flush=True)
+    for name, phase in getattr(step_fn, "phases", {}).items():
+        try:
+            _print_memory_analysis(
+                name, phase.lower(*step_fn.arg_specs[name]).compile()
+            )
+        except Exception:
+            pass
     for i in range(1, 3):
         state, metrics, _ = step_fn(state, batches[i % 4])
     float(metrics["au_loss"])

@@ -412,3 +412,99 @@ def test_r1_shared_forward_matches_standalone_grad2():
     np.testing.assert_allclose(
         np.asarray(out_real), np.asarray(score_real(real, si)), rtol=1e-5, atol=1e-6
     )
+
+
+def test_au_microbatch_grads_match_full_batch():
+    """au_microbatch chunks the authenticator update via lax.scan with
+    gradient accumulation.  The accumulated gradients and the chunk-meaned
+    metrics must equal the full-batch values (equal chunks => the chunk
+    mean-of-means IS the batch mean), including through the R1
+    grad-of-grad path.  Gradients are compared directly because Adam's
+    first step is scale-invariant (a c-times scaling bug would be
+    invisible in post-update params)."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.data.episodic import (
+        normalize_uint8,
+    )
+    from optimalstrategiesagainstgenerativeattacks_tpu.ops.spectral import (
+        power_iterate,
+    )
+    from optimalstrategiesagainstgenerativeattacks_tpu.train.losses import (
+        gan_accuracy,
+    )
+
+    cfg = _cfg(reg_param=2.0, batch_size=4, au_microbatch=2)
+    au, im = _models(cfg)
+    state, *_ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(3))
+    batch = _batch(cfg, seed=11)
+    real = normalize_uint8(jnp.asarray(batch["real_sample"]))
+    si = normalize_uint8(jnp.asarray(batch["si_sample"]))
+    fake = jnp.tanh(real[:, ::-1] * 0.7)
+
+    new_spec = jax.jit(power_iterate)(state.params_au, state.spectral_au)
+
+    # full-batch reference: one value_and_grad over the whole batch
+    loss_fn = itrain._make_au_loss_fn(cfg, au, new_spec)
+    (loss_full, aux), g_full = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(state.params_au, fake, real, si)
+    loss_on_real, loss_on_fake, reg, out_real, out_fake = aux
+    acc, acc_r, acc_f = gan_accuracy(out_real, out_fake)
+
+    g_micro, metrics = jax.jit(
+        lambda p: itrain._au_microbatch_grads(cfg, au, p, new_spec, fake, real, si)
+    )(state.params_au)
+
+    assert jax.tree.structure(g_full) == jax.tree.structure(g_micro)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_micro)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
+    expected = {
+        "au_loss": loss_full,
+        "au_loss_on_real": loss_on_real.mean(),
+        "au_loss_on_fake": loss_on_fake.mean(),
+        "au_reg": reg.mean(),
+        "au_out_on_real": out_real.mean(),
+        "au_out_on_fake": out_fake.mean(),
+        "au_acc": acc,
+        "au_acc_on_real": acc_r,
+        "au_acc_on_fake": acc_f,
+    }
+    for k, v in expected.items():
+        np.testing.assert_allclose(
+            float(metrics[k]), float(v), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+
+
+def test_au_microbatch_full_step_runs_and_matches():
+    """Split-step training with au_microbatch=2: the au phase must produce
+    finite metrics and params close to the au_microbatch=1 step from the
+    same initial state and batch."""
+    batch = None
+    results = {}
+    for mb in (1, 2):
+        cfg = _cfg(reg_param=1.0, batch_size=4, au_microbatch=mb,
+                   split_step="always")
+        au, im = _models(cfg)
+        state, opt_au, opt_im, _ = itrain.create_state(
+            cfg, au, im, jax.random.PRNGKey(4)
+        )
+        batch = _batch(cfg, seed=13)
+        step_fn = itrain.make_split_train_step(cfg, au, im, opt_au, opt_im)
+        new_state, metrics, fake = step_fn(state, batch)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (mb, k)
+        results[mb] = (jax.device_get(new_state.params_au), metrics)
+
+    p1, m1 = results[1]
+    p2, m2 = results[2]
+    for k in ("au_loss", "au_loss_on_real", "au_loss_on_fake", "au_reg",
+              "au_acc"):
+        np.testing.assert_allclose(
+            float(m1[k]), float(m2[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+    # params: Adam at step 1 moves each weight by ~lr regardless of grad
+    # magnitude, so reassociation noise can flip near-zero grads; bound the
+    # drift by the update scale instead of asserting bitwise equality
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6, rtol=0)

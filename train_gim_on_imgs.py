@@ -81,6 +81,13 @@ def get_args():
                              "(identical math, ~one extra block forward in "
                              "backprop); 'auto' = on at img_size >= 64, where "
                              "the R1 game's peak HBM sits at the 16 GB edge")
+    parser.add_argument("--au_microbatch", type=int, default=1,
+                        help="split the authenticator update into this many "
+                             "sequential batch chunks (gradients accumulated, "
+                             "one optimizer step; exact semantics). Activation "
+                             "memory scales 1/c — the FLOP-free alternative to "
+                             "--remat_encoders for the big-image R1 games; "
+                             "must divide batch_size")
     parser.add_argument("--stack_opt", type=lambda x: bool(int(x)), default=False,
                         help="shape-grouped optimizer-leaf stacking (one Adam "
                              "kernel per (shape,dtype) group; exact semantics, "
