@@ -240,12 +240,14 @@ def main():
             "tflops_provenance": v_prov,
             "mfu_vs_v5e_bf16_peak": round(v_tflops * 1e12 * v_sps / 197e12, 3),
         }
-    except Exception:
-        # stdout must stay one JSON line; the reason goes to stderr
+    except Exception as e:
+        # stdout must stay one JSON line; the full traceback goes to stderr,
+        # but the artifact must RECORD the partial failure rather than
+        # silently dropping the key (VERDICT r3 item 1)
         import traceback
 
         traceback.print_exc()
-        vox = None
+        vox = {"error": f"{type(e).__name__}: {e}"[:500]}
 
     print(
         json.dumps(
@@ -263,7 +265,7 @@ def main():
                 "mfu_vs_v5e_bf16_peak": round(
                     tflops_per_step * 1e12 * steps_per_sec / 197e12, 3
                 ),
-                **({"vox_64x3_reg10": vox} if vox else {}),
+                **({"vox_64x3_reg10": vox} if vox is not None else {}),
             }
         )
     )

@@ -1109,10 +1109,16 @@ def train_gim_imgs(
                     train_step = make_split_train_step(cfg, au, im, opt_au, opt_im, mesh)
                     split_fallback_allowed = False
                     state, metrics, fake = train_step(state, batch)
-                log_buf = record_metrics(
-                    log_buf, np.int32(buf_count % cfg.log_every), metrics
-                )
-                buf_count = min(buf_count + 1, cfg.log_every)
+                # rows [0:buf_count] are ALWAYS exactly the steps since the
+                # last flush: write at buf_count (never modulo-wrapped), and
+                # if the buffer is somehow full before the cadence-aligned
+                # flush fires (e.g. a resume left gs and the write counter
+                # misaligned), flush now instead of overwriting row 0 and
+                # mixing stale rows into the next window.
+                if buf_count >= cfg.log_every:
+                    flush_log(host_step)
+                log_buf = record_metrics(log_buf, np.int32(buf_count), metrics)
+                buf_count += 1
                 perf["steps"] += 1
                 host_step += 1
                 gs = host_step

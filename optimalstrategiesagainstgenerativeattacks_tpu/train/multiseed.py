@@ -82,6 +82,18 @@ def make_multiseed_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im):
     gate is step-synchronous across seeds, so prefer the default
     ``n_au_steps == 1`` specialisation here.
     """
+    if cfg.n_au_steps > 1:
+        import warnings
+
+        warnings.warn(
+            f"make_multiseed_train_step with n_au_steps={cfg.n_au_steps}: "
+            "under vmap the im-phase lax.cond lowers to a select, so BOTH "
+            "branches run every step — each seed pays the full generator "
+            "update cost even on authenticator-only steps (~2x im-phase "
+            "FLOPs). Prefer n_au_steps=1 here, or run single-seed training.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     step_fn = make_train_step_fn(cfg, au, im, opt_au, opt_im, mesh=None)
     return jax.jit(jax.vmap(step_fn), donate_argnums=(0,))
 

