@@ -303,7 +303,7 @@ def get_exp_args_from_dir(outdir: str, ckpt_dir: str = "ckpts", specific_model=N
 def eval_game_for_pair(
     au_type: str, im_type: str, au_outdir: str, im_outdir: str,
     ds, batch_size: int, num_workers: int = 0,
-    ckpt_dir: str = "ckpts", specific_model=None,
+    ckpt_dir: str = "ckpts", specific_model=None, return_scores: bool = False,
 ):
     """(acc, acc_on_fake, acc_on_real, auc) for one au/im pairing (:155-179).
 
@@ -332,7 +332,7 @@ def eval_game_for_pair(
     im_agent = get_impersonator(im_type, im_ckpt_path, ds, im_args_dict)
     return eval_authenticator_and_impersonator(
         ds=ds, batch_size=batch_size, authenticator=au_agent, impersonator=im_agent,
-        num_workers=num_workers,
+        num_workers=num_workers, return_scores=return_scores,
     )
 
 
@@ -341,24 +341,43 @@ def eval_authentication_task(
     batch_size: int, num_workers: int,
     gim_exp_dir: str, csv_file_path: str,
     specific_model=None, baseline_exp_dir=None, baseline_type=None,
+    calibrate_q=None, dump_scores_dir=None,
 ):
-    """Full evaluation grid -> CSV (:195-252)."""
+    """Full evaluation grid -> CSV (:195-252).
+
+    ``calibrate_q`` (e.g. 0.95) appends calibrated-operating-point columns:
+    ``th_cal`` = the threshold accepting that fraction of REAL scores
+    (deployable — computed from enrollment data only, no attacker
+    knowledge), the acc trio at ``th_cal``, plus score-distribution stats
+    and the oracle balanced-accuracy threshold/acc for analysis.  The
+    reference-parity columns (CSV_COLS) are unchanged; extras are appended
+    only when requested.  ``dump_scores_dir`` writes the raw
+    real/fake score vectors per pairing as ``scores_{au}_{im}.npz``.
+    """
     import pandas as pd
+
+    from optimalstrategiesagainstgenerativeattacks_tpu.eval.scorer import (
+        acc_at_threshold,
+        balanced_threshold,
+        real_quantile_threshold,
+    )
 
     os.makedirs(os.path.dirname(os.path.abspath(csv_file_path)), exist_ok=True)
     printed_cols = ["au_type", "im_type", "acc", "acc_on_fake", "acc_on_real"]
+    want_scores = calibrate_q is not None or dump_scores_dir is not None
     rows = []
     au_type_list = ["gim"] if baseline_type is None else ["gim", baseline_type]
     for au_type in au_type_list:
         for im_type in ("gim", "replay", "rnd_src"):
             print(f"running {au_type} vs. {im_type}")
             au_outdir = gim_exp_dir if au_type == "gim" else baseline_exp_dir
-            acc, acc_on_fake, acc_on_real, auc = eval_game_for_pair(
+            res = eval_game_for_pair(
                 au_type=au_type, im_type=im_type,
                 au_outdir=au_outdir, im_outdir=gim_exp_dir,
                 ds=ds, batch_size=batch_size, num_workers=num_workers,
-                specific_model=specific_model,
+                specific_model=specific_model, return_scores=want_scores,
             )
+            acc, acc_on_fake, acc_on_real, auc = res[:4]
             row = {
                 "au_type": au_type, "im_type": im_type,
                 "ds_root": ds.root, "gim_exp_dir": gim_exp_dir,
@@ -366,10 +385,43 @@ def eval_authentication_task(
                 "acc": acc, "acc_on_fake": acc_on_fake,
                 "acc_on_real": acc_on_real, "auc": auc,
             }
+            if want_scores:
+                score_real, score_fake = res[4]
+                if dump_scores_dir is not None:
+                    os.makedirs(dump_scores_dir, exist_ok=True)
+                    np.savez(
+                        os.path.join(dump_scores_dir,
+                                     f"scores_{au_type}_{im_type}.npz"),
+                        score_real=score_real, score_fake=score_fake,
+                    )
+                if calibrate_q is not None:
+                    th_cal = real_quantile_threshold(score_real, calibrate_q)
+                    c_acc, c_fake, c_real = acc_at_threshold(
+                        score_real, score_fake, th_cal
+                    )
+                    th_bal = balanced_threshold(score_real, score_fake)
+                    b_acc, _, _ = acc_at_threshold(score_real, score_fake, th_bal)
+                    row.update({
+                        "th_cal": th_cal, "acc_cal": c_acc,
+                        "acc_on_fake_cal": c_fake, "acc_on_real_cal": c_real,
+                        "th_balanced": th_bal, "acc_balanced": b_acc,
+                        "score_real_mean": float(np.mean(score_real)),
+                        "score_real_std": float(np.std(score_real)),
+                        "score_fake_mean": float(np.mean(score_fake)),
+                        "score_fake_std": float(np.std(score_fake)),
+                    })
             rows.append(row)
             print(pd.DataFrame([row])[printed_cols])
 
-    df = pd.DataFrame(rows, columns=CSV_COLS)
+    cols = list(CSV_COLS)
+    if calibrate_q is not None:
+        cols += [
+            "th_cal", "acc_cal", "acc_on_fake_cal", "acc_on_real_cal",
+            "th_balanced", "acc_balanced",
+            "score_real_mean", "score_real_std",
+            "score_fake_mean", "score_fake_std",
+        ]
+    df = pd.DataFrame(rows, columns=cols)
     df.to_csv(csv_file_path)
     print(df[printed_cols])
     return df
@@ -432,6 +484,16 @@ def get_args():
     parser.add_argument("--csv_file_path",
                         default=os.path.join(os.path.abspath(os.path.dirname(__file__)), "results.csv"),
                         help="The path for the results csv file")
+    parser.add_argument("--calibrate_q", type=float, default=None,
+                        help="Append calibrated-threshold columns: the "
+                             "operating point accepting this fraction of "
+                             "real scores (deployable, attacker-blind), "
+                             "plus score-distribution stats and the oracle "
+                             "balanced-accuracy point. E.g. 0.95.")
+    parser.add_argument("--dump_scores_dir", default=None,
+                        help="Write raw real/fake score vectors per pairing "
+                             "as npz files into this directory (score-"
+                             "distribution analysis).")
     return parser.parse_args()
 
 
@@ -454,6 +516,8 @@ def main(args=None):
         baseline_exp_dir=args.baseline_exp_dir, baseline_type=args.baseline_type,
         gim_exp_dir=args.gim_exp_dir, csv_file_path=args.csv_file_path,
         specific_model=args.specific_model,
+        calibrate_q=getattr(args, "calibrate_q", None),
+        dump_scores_dir=getattr(args, "dump_scores_dir", None),
     )
 
 

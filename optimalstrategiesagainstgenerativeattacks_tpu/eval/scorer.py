@@ -49,6 +49,43 @@ def comp_acc(pred_on_real: np.ndarray, pred_on_fake: np.ndarray):
     return float(acc), float(acc_on_fake), float(acc_on_real)
 
 
+def real_quantile_threshold(score_real: np.ndarray, accept_frac: float) -> float:
+    """Deployable calibration: the threshold that accepts ``accept_frac`` of
+    the REAL scores (no attacker knowledge needed — an operator can compute
+    it from enrollment data alone).
+
+    Motivation (round-3 100k-step flagship run, docs/flag100k_hard/): late
+    in training the authenticator's whole score distribution drifts across
+    zero — ranking stays good (AUC 0.87-0.89) but the reference's fixed
+    threshold-0 operating point (``agents.py:16-26``) degrades
+    ``acc_on_real`` to 0.45. Re-anchoring the threshold to the real-score
+    quantile restores the operating point without touching AUC.
+    """
+    score_real = np.asarray(score_real, np.float64).reshape(-1)
+    return float(np.quantile(score_real, 1.0 - accept_frac))
+
+
+def balanced_threshold(score_real: np.ndarray, score_fake: np.ndarray) -> float:
+    """Oracle calibration (analysis only): the threshold maximising balanced
+    accuracy 0.5*(TPR + TNR) over the pooled real/fake scores."""
+    sr = np.asarray(score_real, np.float64).reshape(-1)
+    sf = np.asarray(score_fake, np.float64).reshape(-1)
+    cand = np.unique(np.concatenate([sr, sf]))
+    # midpoints between consecutive candidates + outer sentinels
+    th = np.concatenate([[cand[0] - 1.0], (cand[:-1] + cand[1:]) / 2.0,
+                         [cand[-1] + 1.0]])
+    tpr = (sr[None, :] >= th[:, None]).mean(axis=1)
+    tnr = (sf[None, :] < th[:, None]).mean(axis=1)
+    return float(th[np.argmax(0.5 * (tpr + tnr))])
+
+
+def acc_at_threshold(score_real: np.ndarray, score_fake: np.ndarray, th: float):
+    """(acc, acc_on_fake, acc_on_real) of the >= th operating point."""
+    sr = np.asarray(score_real, np.float64).reshape(-1)
+    sf = np.asarray(score_fake, np.float64).reshape(-1)
+    return comp_acc((sr >= th).astype(np.int64), (sf >= th).astype(np.int64))
+
+
 def _pad_to(arr: np.ndarray, size: int) -> np.ndarray:
     """Grow axis 0 to ``size`` by cyclic repetition of whole items."""
     if arr.shape[0] == size:
@@ -107,8 +144,10 @@ def eval_authenticator_and_impersonator(
     num_workers: int = 0,
     dbg: bool = False,
     seed: int = 0,
+    return_scores: bool = False,
 ):
-    """Full-game rollout over the dataset -> (acc, acc_on_fake, acc_on_real, auc).
+    """Full-game rollout over the dataset -> (acc, acc_on_fake, acc_on_real, auc)
+    [+ (score_real, score_fake) when ``return_scores``].
 
     Fast path: when the agents expose jitted ``device_fn``s (the GIM /
     baseline closures in ``eval/authentication.py`` do), scores accumulate
@@ -158,6 +197,8 @@ def eval_authenticator_and_impersonator(
     acc, acc_on_fake, acc_on_real = comp_acc(pred_real, pred_fake)
     labels = np.concatenate([np.ones_like(score_real), np.zeros_like(score_fake)])
     auc = float(roc_auc_score(y_true=labels, y_score=np.concatenate([score_real, score_fake])))
+    if return_scores:
+        return acc, acc_on_fake, acc_on_real, auc, (score_real, score_fake)
     return acc, acc_on_fake, acc_on_real, auc
 
 

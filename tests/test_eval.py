@@ -132,6 +132,91 @@ def test_scorer_shape_stable_on_remainder_batch():
     assert acc_on_fake == 1.0 and auc > 0.9
 
 
+def test_calibration_restores_drifted_operating_point():
+    """The round-3 100k-run failure mode in miniature: the score
+    distribution drifts entirely below zero — threshold-0 accuracy on real
+    collapses to 0 while ranking (AUC) stays perfect.  The real-quantile
+    calibrated threshold restores the operating point without seeing a
+    single fake score."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.eval.scorer import (
+        acc_at_threshold,
+        balanced_threshold,
+        real_quantile_threshold,
+    )
+
+    rng = np.random.default_rng(0)
+    score_real = rng.normal(-1.0, 0.3, 2000)   # drifted below th=0
+    score_fake = rng.normal(-2.5, 0.3, 2000)   # but still well-separated
+
+    # the fixed reference operating point is broken...
+    acc0, _, acc_real0 = acc_at_threshold(score_real, score_fake, 0.0)
+    assert acc_real0 < 0.01 and acc0 < 0.51
+    # ...while the attacker-blind real-quantile threshold repairs it
+    th = real_quantile_threshold(score_real, accept_frac=0.95)
+    acc_c, acc_fake_c, acc_real_c = acc_at_threshold(score_real, score_fake, th)
+    assert 0.93 <= acc_real_c <= 0.97  # accepts ~95% of real by construction
+    assert acc_fake_c > 0.99
+    assert acc_c > 0.95
+    # the oracle balanced point is at least as good as both
+    th_b = balanced_threshold(score_real, score_fake)
+    acc_b, _, _ = acc_at_threshold(score_real, score_fake, th_b)
+    assert acc_b >= acc_c - 1e-9 and acc_b > 0.98
+
+    # edge cases: accept-everything / perfect split
+    assert real_quantile_threshold([1.0, 2.0, 3.0], 1.0) <= 1.0
+    assert acc_at_threshold([1, 2], [-2, -1], 0.0) == (1.0, 1.0, 1.0)
+
+
+def test_task_calibration_columns_and_score_dump(tmp_path, monkeypatch):
+    """eval_authentication_task with calibrate_q: parity columns unchanged,
+    calibrated columns appended, raw score vectors dumped per pairing."""
+    import pandas as pd
+
+    from optimalstrategiesagainstgenerativeattacks_tpu.eval import authentication
+
+    rng = np.random.default_rng(1)
+
+    def fake_pair(au_type, im_type, au_outdir, im_outdir, ds, batch_size,
+                  num_workers=0, ckpt_dir="ckpts", specific_model=None,
+                  return_scores=False):
+        sr = rng.normal(-1.0, 0.3, 64)
+        sf = rng.normal(-2.5, 0.3, 64)
+        from optimalstrategiesagainstgenerativeattacks_tpu.eval.scorer import (
+            acc_at_threshold,
+        )
+
+        acc, acc_f, acc_r = acc_at_threshold(sr, sf, 0.0)
+        out = (acc, acc_f, acc_r, 0.99)
+        return out + ((sr, sf),) if return_scores else out
+
+    monkeypatch.setattr(authentication, "eval_game_for_pair", fake_pair)
+
+    class DS:
+        root = "<memory>"
+
+    csv_path = str(tmp_path / "cal.csv")
+    dump_dir = str(tmp_path / "scores")
+    df = authentication.eval_authentication_task(
+        ds=DS(), m=1, n=2, k=2, batch_size=2, num_workers=0,
+        gim_exp_dir="<none>", csv_file_path=csv_path,
+        calibrate_q=0.95, dump_scores_dir=dump_dir,
+    )
+    assert list(df.columns)[: len(authentication.CSV_COLS)] == list(
+        authentication.CSV_COLS
+    )
+    for col in ("th_cal", "acc_cal", "acc_on_real_cal", "th_balanced",
+                "score_real_mean", "score_fake_std"):
+        assert col in df.columns
+    # the drifted distribution: broken at th=0, repaired at th_cal
+    assert (df["acc_on_real"] < 0.01).all()
+    assert (df["acc_on_real_cal"] > 0.9).all()
+    for im_type in ("gim", "replay", "rnd_src"):
+        z = np.load(os.path.join(dump_dir, f"scores_gim_{im_type}.npz"))
+        assert z["score_real"].shape == (64,) and z["score_fake"].shape == (64,)
+    loaded = pd.read_csv(csv_path, index_col=0)
+    assert "acc_cal" in loaded.columns and len(loaded) == 3
+
+
 @pytest.mark.slow
 def test_end_to_end_authentication_task(tmp_path):
     """Train the tiny image game for a few steps, then run the full eval grid
