@@ -274,7 +274,7 @@ def _au_microbatch_grads(cfg: ImageGameConfig, au, params_au, new_spec_au,
     vox config).  The per-chunk re-read of the parameters and the extra
     ``compute_sigmas`` evaluations are HBM-trivial next to the activations.
     """
-    c = cfg.au_microbatch
+    _, c = cfg.resolved_hbm_policy()
     b = real.shape[0]
     if b % c != 0:
         raise ValueError(f"au_microbatch={c} must divide the batch size {b}")
@@ -469,7 +469,7 @@ def make_split_train_step(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=Non
         }
         return new_params_au, new_spec_au, new_opt, metrics
 
-    if cfg.au_microbatch > 1:
+    if cfg.resolved_hbm_policy()[1] > 1:
         au_phase = au_phase_microbatched
 
     _prep = _batch_prep_fn(cfg, mesh)
@@ -529,9 +529,7 @@ def build_models(cfg: ImageGameConfig):
     from optimalstrategiesagainstgenerativeattacks_tpu.models import image as imodels
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    remat = cfg.remat_encoders == "on" or (
-        cfg.remat_encoders == "auto" and cfg.img_size >= 64
-    )
+    remat, _ = cfg.resolved_hbm_policy()
     au = imodels.get_au(
         img_size=cfg.img_size, img_channels=cfg.img_channels, style_dim=cfg.style_dim,
         dtype=dtype, unroll_encoder_pair=cfg.unroll_encoder_pair,
@@ -630,7 +628,7 @@ def make_train_step_fn(cfg: ImageGameConfig, au, im, opt_au, opt_im, mesh=None):
 
         # ---- authenticator on the detached fake (:237-239, detach :166)
         fake = jax.lax.stop_gradient(fake)
-        if cfg.au_microbatch > 1:
+        if cfg.resolved_hbm_policy()[1] > 1:
             new_params_au, new_spectral_au, new_opt_au, au_metrics = (
                 _au_microbatch_update(
                     cfg, au, opt_au, mv_dtype,

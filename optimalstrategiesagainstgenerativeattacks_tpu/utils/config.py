@@ -183,16 +183,19 @@ class ImageGameConfig:
     bf16_spectral: bool = False
     # rematerialise the encoder blocks in backward passes (identical math;
     # stored activations shrink to one tensor per block at the cost of one
-    # extra block forward in backprop).  'auto' turns it on for the
-    # big-image games (img_size >= 64).  Measured ledger for the tracked
-    # vox config (64x64x3, B128, reg 10; au_phase temp by XLA
-    # memory_analysis, round 3): pre-r3 program 14.27 GB — ran with
-    # <0.7 GB margin; r3 program without remat 15.12 GB — runtime OOM;
-    # remat_depth=2 14.57 GB — still OOM; full remat 11.7 GB — runs at
-    # 520.4 ms/step vs the cliff-edge program's 466.9.  The config is
-    # structurally at the 16 GB edge, so every program revision rolled
-    # the buffer-assignment dice; 'auto' trades 11% step time for ~3 GB
-    # of guaranteed headroom. 'on'/'off' force it.
+    # extra block forward in backprop).  Round-4 on-chip A/B at the tracked
+    # vox config (64x64x3, B128, reg 10; temp GB by XLA memory_analysis,
+    # ms/step on the chip):
+    #   no-remat, full batch:   au 15.12 GB (runtime OOM)   466.9 ms (r3)
+    #   remat_depth=2:          au 14.57 GB (still OOM)        —    (r3)
+    #   full remat:             au 11.70 GB                 520.9 ms
+    #   au_microbatch=2:        au  8.71 / im 8.30 GB       448.8 ms
+    # Gradient accumulation both out-memories AND out-runs remat (its
+    # chunks are sequential anyway on one chip; remat pays ~11% recompute),
+    # so 'auto' now resolves OFF and the big-image HBM policy is
+    # au_microbatch (see resolved_hbm_policy) — remat re-engages
+    # automatically only when microbatching cannot divide the batch.
+    # 'on'/'off' force it.
     remat_encoders: str = "auto"
     # with remat on, rematerialise only the first N encoder blocks
     # (-1 = all).  Depth 2 measured insufficient at the vox config (see
@@ -203,14 +206,38 @@ class ImageGameConfig:
     # optimizer step). Exact semantics — chunk-mean averaging equals the
     # full-batch mean for equal chunks; activation memory scales 1/c at
     # algorithmic FLOPs, unlike encoder remat which recomputes forwards.
-    # Must divide batch_size. Built for the big-image R1 games whose
-    # au_phase sits at the 16 GB HBM cliff (see remat_encoders).
-    au_microbatch: int = 1
+    # Must divide batch_size.  0 = AUTO: 2 at img_size >= 64 (the big-image
+    # R1 games sit at the 16 GB HBM cliff; the r4 A/B above measured c=2 as
+    # the fastest SAFE program — 448.8 ms/step vs remat's 520.9 at 8.7 GB),
+    # else 1.  Larger images may need a larger c (activation memory ~1/c).
+    au_microbatch: int = 0
     # stack same-(shape,dtype) param leaves before the Adam elementwise ops
     # (one kernel per shape group instead of per leaf; singleton groups
     # pass through copy-free). Exact semantics; changes the opt-state
     # checkpoint layout. See ops/packing.py
     stack_opt: bool = False
+
+    def resolved_hbm_policy(self) -> tuple:
+        """(remat_on: bool, au_microbatch: int) after 'auto' resolution.
+
+        The round-4 on-chip A/B (see the ``remat_encoders`` field comment)
+        made gradient accumulation the default big-image HBM policy: at
+        img_size >= 64, ``au_microbatch='auto'`` resolves to 2 — faster
+        than remat (448.8 vs 520.9 ms/step at the vox config) with more
+        headroom (8.7 vs 11.7 GB peak temp).  Remat stays as the automatic
+        fallback when the batch cannot be chunked, and can be forced with
+        ``remat_encoders='on'``.
+        """
+        mb = self.au_microbatch
+        if mb == 0:
+            mb = 2 if (self.img_size >= 64 and self.batch_size % 2 == 0) else 1
+        if self.remat_encoders == "on":
+            remat = True
+        elif self.remat_encoders == "off":
+            remat = False
+        else:  # 'auto'
+            remat = self.img_size >= 64 and mb == 1
+        return remat, mb
 
     @classmethod
     def from_dict(cls, d: dict) -> "ImageGameConfig":

@@ -111,15 +111,17 @@ def main():
                         "conv. --no-split-gen for the concat A/B arm")
     p.add_argument("--remat", default="auto", choices=["auto", "on", "off"],
                    help="rematerialise encoder blocks in backward passes "
-                        "(auto: on at img_size >= 64 — HBM headroom for the "
-                        "big-image R1 game)")
+                        "(auto: off — superseded as the big-image HBM "
+                        "policy by au-microbatching, round-4 A/B — unless "
+                        "microbatching cannot divide the batch)")
     p.add_argument("--remat-depth", type=int, default=-1,
                    help="with remat on, rematerialise only the first N "
                         "encoder blocks (-1 = all)")
-    p.add_argument("--au-microbatch", type=int, default=1,
+    p.add_argument("--au-microbatch", type=int, default=0,
                    help="sequential batch chunks for the authenticator "
-                        "update (grad accumulation; exact). The FLOP-free "
-                        "alternative to --remat for big-image R1 HBM")
+                        "update (grad accumulation; exact). 0 = auto (the "
+                        "shipped policy: 2 at img >= 64); 1 forces the "
+                        "full-batch A/B arm")
     p.add_argument("--compile-only", action="store_true",
                    help="lower+compile the phases (warms the persistent "
                         "cache via the remote compile server) and exit "

@@ -81,13 +81,22 @@ def get_args():
                              "(identical math, ~one extra block forward in "
                              "backprop); 'auto' = on at img_size >= 64, where "
                              "the R1 game's peak HBM sits at the 16 GB edge")
-    parser.add_argument("--au_microbatch", type=int, default=1,
+    parser.add_argument("--au_microbatch", type=int, default=0,
                         help="split the authenticator update into this many "
                              "sequential batch chunks (gradients accumulated, "
                              "one optimizer step; exact semantics). Activation "
-                             "memory scales 1/c — the FLOP-free alternative to "
-                             "--remat_encoders for the big-image R1 games; "
+                             "memory scales 1/c at algorithmic FLOPs. 0 = "
+                             "auto: 2 at img_size >= 64 — the measured big-"
+                             "image HBM policy (448.8 vs remat's 520.9 "
+                             "ms/step at the vox config, 8.7 GB peak temp); "
                              "must divide batch_size")
+    parser.add_argument("--split_step", default="auto",
+                        choices=["auto", "always", "never"],
+                        help="two-phase split train step (each phase a "
+                             "half-size XLA program; numerically identical). "
+                             "'auto' uses it at style_dim >= 256 where the "
+                             "monolithic program overwhelms the remote "
+                             "compile server")
     parser.add_argument("--stack_opt", type=lambda x: bool(int(x)), default=False,
                         help="shape-grouped optimizer-leaf stacking (one Adam "
                              "kernel per (shape,dtype) group; exact semantics, "
