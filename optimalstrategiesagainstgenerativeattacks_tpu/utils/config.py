@@ -190,8 +190,12 @@ class ImageGameConfig:
     #   remat_depth=2:          au 14.57 GB (still OOM)        —    (r3)
     #   full remat:             au 11.70 GB                 520.9 ms
     #   au_microbatch=2:        au  8.71 / im 8.30 GB       448.8 ms
+    #   au_microbatch=8:        au  2.48 GB                 408.9 ms
+    #   au_microbatch=16:       au  1.47 GB                 398.9 ms  <- best
+    #   au_microbatch=32:       au  1.18 GB                 478.7 ms  (knee)
     # Gradient accumulation both out-memories AND out-runs remat (its
-    # chunks are sequential anyway on one chip; remat pays ~11% recompute),
+    # chunks are sequential anyway on one chip; remat pays ~11% recompute,
+    # and the smaller R1 grad-of-grad working set schedules far better),
     # so 'auto' now resolves OFF and the big-image HBM policy is
     # au_microbatch (see resolved_hbm_policy) — remat re-engages
     # automatically only when microbatching cannot divide the batch.
@@ -206,10 +210,11 @@ class ImageGameConfig:
     # optimizer step). Exact semantics — chunk-mean averaging equals the
     # full-batch mean for equal chunks; activation memory scales 1/c at
     # algorithmic FLOPs, unlike encoder remat which recomputes forwards.
-    # Must divide batch_size.  0 = AUTO: 2 at img_size >= 64 (the big-image
-    # R1 games sit at the 16 GB HBM cliff; the r4 A/B above measured c=2 as
-    # the fastest SAFE program — 448.8 ms/step vs remat's 520.9 at 8.7 GB),
-    # else 1.  Larger images may need a larger c (activation memory ~1/c).
+    # Must divide batch_size.  0 = AUTO at img_size >= 64: the largest
+    # divisor of batch_size keeping chunks >= 8 episodes, capped at 16 —
+    # the measured optimum of the r4 sweep above (c=16 at B=128: 398.9
+    # ms/step vs remat's 520.9, with chunk-size 8 the knee before
+    # per-chunk overheads win at c=32); else 1.
     au_microbatch: int = 0
     # stack same-(shape,dtype) param leaves before the Adam elementwise ops
     # (one kernel per shape group instead of per leaf; singleton groups
@@ -220,17 +225,24 @@ class ImageGameConfig:
     def resolved_hbm_policy(self) -> tuple:
         """(remat_on: bool, au_microbatch: int) after 'auto' resolution.
 
-        The round-4 on-chip A/B (see the ``remat_encoders`` field comment)
-        made gradient accumulation the default big-image HBM policy: at
-        img_size >= 64, ``au_microbatch='auto'`` resolves to 2 — faster
-        than remat (448.8 vs 520.9 ms/step at the vox config) with more
-        headroom (8.7 vs 11.7 GB peak temp).  Remat stays as the automatic
-        fallback when the batch cannot be chunked, and can be forced with
-        ``remat_encoders='on'``.
+        The round-4 on-chip sweep (see the ``remat_encoders`` field
+        comment) made gradient accumulation the default big-image HBM
+        policy: at img_size >= 64, ``au_microbatch='auto'`` resolves to
+        the largest divisor of batch_size keeping chunks >= 8 episodes,
+        capped at 16 — the measured optimum (398.9 vs remat's 520.9
+        ms/step at the vox config, au_phase temp 1.47 vs 11.7 GB).  Remat
+        stays as the automatic fallback when the batch cannot be chunked,
+        and can be forced with ``remat_encoders='on'``.
         """
         mb = self.au_microbatch
         if mb == 0:
-            mb = 2 if (self.img_size >= 64 and self.batch_size % 2 == 0) else 1
+            mb = 1
+            if self.img_size >= 64:
+                target = min(16, max(1, self.batch_size // 8))
+                for c in range(target, 0, -1):
+                    if self.batch_size % c == 0:
+                        mb = c
+                        break
         if self.remat_encoders == "on":
             remat = True
         elif self.remat_encoders == "off":

@@ -69,10 +69,11 @@ def test_resolve_ckpt_path_falls_back_to_outdir(tmp_path):
 
 def test_resolved_hbm_policy():
     """Round-4 big-image HBM policy: 'auto' resolves to gradient
-    accumulation (au_microbatch=2) at img_size >= 64 — measured faster AND
-    safer than encoder remat (448.8 vs 520.9 ms/step, 8.7 vs 11.7 GB at
-    the vox config) — with remat re-engaging only when the batch cannot
-    be chunked; explicit settings always win."""
+    accumulation at img_size >= 64 — measured faster AND safer than
+    encoder remat across the whole sweep (mb16: 398.9 vs remat's 520.9
+    ms/step, au temp 1.47 vs 11.7 GB at the vox config; knee at mb32) —
+    with remat re-engaging only when the batch cannot be chunked;
+    explicit settings always win."""
     from optimalstrategiesagainstgenerativeattacks_tpu.utils.config import (
         ImageGameConfig,
     )
@@ -80,16 +81,19 @@ def test_resolved_hbm_policy():
     mk = lambda **kw: ImageGameConfig(**kw).resolved_hbm_policy()
     # small images: no remat, no chunking
     assert mk(img_size=32, batch_size=128) == (False, 1)
-    # big images: microbatch 2, remat off
-    assert mk(img_size=64, batch_size=128) == (False, 2)
-    # big images with an odd batch: microbatch can't engage -> remat fallback
+    # big images: the measured-optimal chunking (chunks of 8 episodes,
+    # cap 16), remat off
+    assert mk(img_size=64, batch_size=128) == (False, 16)
+    assert mk(img_size=64, batch_size=64) == (False, 8)
+    assert mk(img_size=64, batch_size=24) == (False, 3)
+    # big images with a prime batch: microbatch can't engage -> remat fallback
     assert mk(img_size=64, batch_size=127) == (True, 1)
     # explicit microbatch wins over auto
     assert mk(img_size=64, batch_size=128, au_microbatch=4) == (False, 4)
     # forcing microbatch off at big images re-engages the remat fallback
     assert mk(img_size=64, batch_size=128, au_microbatch=1) == (True, 1)
     # forced remat composes with auto microbatch
-    assert mk(img_size=64, batch_size=128, remat_encoders="on") == (True, 2)
-    assert mk(img_size=64, batch_size=128, remat_encoders="off") == (False, 2)
+    assert mk(img_size=64, batch_size=128, remat_encoders="on") == (True, 16)
+    assert mk(img_size=64, batch_size=128, remat_encoders="off") == (False, 16)
     # small images, explicit chunking: no remat
     assert mk(img_size=16, batch_size=8, au_microbatch=2) == (False, 2)

@@ -311,6 +311,27 @@ def test_split_train_step_dp_mesh_matches_single_device():
     _assert_step_equivalent(s_ref, s_got, m_ref, m_got)
 
 
+def test_au_microbatch_step_dp_mesh_matches_single_device():
+    """The microbatched (gradient-accumulated) au update — the round-4
+    default big-image HBM policy — must stay sharding-invariant: dp=8 step
+    with au_microbatch=2 + R1 == the same step unsharded."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.parallel.mesh import shard_batch
+
+    cfg = _cfg(batch_size=8, au_microbatch=2, reg_param=1.0)
+    au, im = _models(cfg)
+    state_a, opt_au, opt_im, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(11))
+    state_b, _, _, _ = itrain.create_state(cfg, au, im, jax.random.PRNGKey(11))
+    batch = _batch(cfg, seed=11)
+
+    single = itrain.make_train_step(cfg, au, im, opt_au, opt_im)
+    mesh = create_mesh()
+    sharded = itrain.make_train_step(cfg, au, im, opt_au, opt_im, mesh)
+
+    s_ref, m_ref, _ = single(state_a, batch)
+    s_got, m_got, _ = sharded(state_b, shard_batch(batch, mesh))
+    _assert_step_equivalent(s_ref, s_got, m_ref, m_got)
+
+
 def test_full_image_training_entry(tmp_path, omniglot_like=None):
     """Tiny full run through train_gim_imgs with an in-memory synthetic ds."""
     import numpy as np

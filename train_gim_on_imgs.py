@@ -86,9 +86,10 @@ def get_args():
                              "sequential batch chunks (gradients accumulated, "
                              "one optimizer step; exact semantics). Activation "
                              "memory scales 1/c at algorithmic FLOPs. 0 = "
-                             "auto: 2 at img_size >= 64 — the measured big-"
-                             "image HBM policy (448.8 vs remat's 520.9 "
-                             "ms/step at the vox config, 8.7 GB peak temp); "
+                             "auto: at img_size >= 64, chunks of >= 8 "
+                             "episodes capped at c=16 — the measured big-"
+                             "image HBM policy (398.9 vs remat's 520.9 "
+                             "ms/step at the vox config, 1.5 GB peak temp); "
                              "must divide batch_size")
     parser.add_argument("--split_step", default="auto",
                         choices=["auto", "always", "never"],
