@@ -82,8 +82,11 @@ def derive_tflops_per_step(cfg) -> tuple:
                 "--img", str(cfg.img_size), "--channels", str(cfg.img_channels),
                 "--style", str(cfg.style_dim), "--m", str(cfg.m),
                 "--n", str(cfg.n), "--k", str(cfg.k), "--reg", str(cfg.reg_param),
-                # algorithmic FLOPs: remat recompute must not inflate MFU
-                "--remat", "off",
+                # algorithmic FLOPs: remat recompute must not inflate MFU,
+                # and the microbatch lax.scan must not DEFLATE it (XLA cost
+                # analysis counts a while body once, not x trip-count) —
+                # trace the full-batch, no-remat program
+                "--remat", "off", "--au-microbatch", "1",
             ],
             capture_output=True, text=True, timeout=1200,
         )

@@ -210,11 +210,12 @@ class ImageGameConfig:
     # optimizer step). Exact semantics — chunk-mean averaging equals the
     # full-batch mean for equal chunks; activation memory scales 1/c at
     # algorithmic FLOPs, unlike encoder remat which recomputes forwards.
-    # Must divide batch_size.  0 = AUTO at img_size >= 64: the largest
-    # divisor of batch_size keeping chunks >= 8 episodes, capped at 16 —
-    # the measured optimum of the r4 sweep above (c=16 at B=128: 398.9
-    # ms/step vs remat's 520.9, with chunk-size 8 the knee before
-    # per-chunk overheads win at c=32); else 1.
+    # Must divide batch_size.  0 = AUTO (resolved_hbm_policy): chunking is
+    # a measured WIN on both tracked configs, not just an OOM guard — the
+    # smaller working set schedules better.  img >= 64: chunks >= 8
+    # episodes, cap c=16 (398.9 ms vs remat's 520.9 at the vox config);
+    # img < 64 at batch >= 64: chunks >= 16 episodes, cap c=8 (flagship
+    # 145.0 ms vs 148.8 unchunked, knee at c=16: 147.5); else 1.
     au_microbatch: int = 0
     # stack same-(shape,dtype) param leaves before the Adam elementwise ops
     # (one kernel per shape group instead of per leaf; singleton groups
@@ -238,11 +239,21 @@ class ImageGameConfig:
         if mb == 0:
             mb = 1
             if self.img_size >= 64:
-                target = min(16, max(1, self.batch_size // 8))
-                for c in range(target, 0, -1):
-                    if self.batch_size % c == 0:
-                        mb = c
-                        break
+                # big-image R1 games: knee at 8-episode chunks (c=16@B128:
+                # 398.9 ms vs 408.9@c8, 478.7@c32)
+                min_chunk, cap = 8, 16
+            elif self.batch_size >= 64:
+                # small images: knee at 16-32-episode chunks (c=4/c=8@B128:
+                # 145.0 ms vs 148.8 unchunked, 147.5@c16); engage only at
+                # batch sizes near the measured regime
+                min_chunk, cap = 16, 8
+            else:
+                min_chunk, cap = self.batch_size + 1, 1  # no chunking
+            target = min(cap, max(1, self.batch_size // min_chunk))
+            for c in range(target, 0, -1):
+                if self.batch_size % c == 0:
+                    mb = c
+                    break
         if self.remat_encoders == "on":
             remat = True
         elif self.remat_encoders == "off":

@@ -79,8 +79,13 @@ def test_resolved_hbm_policy():
     )
 
     mk = lambda **kw: ImageGameConfig(**kw).resolved_hbm_policy()
-    # small images: no remat, no chunking
-    assert mk(img_size=32, batch_size=128) == (False, 1)
+    # small images, big batch: 16-episode chunks capped at 8 (flagship
+    # measured 145.0 ms at c=8 vs 148.8 unchunked, knee at c=16)
+    assert mk(img_size=32, batch_size=128) == (False, 8)
+    assert mk(img_size=32, batch_size=64) == (False, 4)
+    # small images, small batch: outside the measured regime -> no chunking
+    assert mk(img_size=32, batch_size=32) == (False, 1)
+    assert mk(img_size=16, batch_size=8) == (False, 1)
     # big images: the measured-optimal chunking (chunks of 8 episodes,
     # cap 16), remat off
     assert mk(img_size=64, batch_size=128) == (False, 16)

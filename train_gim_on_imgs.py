@@ -91,6 +91,14 @@ def get_args():
                              "image HBM policy (398.9 vs remat's 520.9 "
                              "ms/step at the vox config, 1.5 GB peak temp); "
                              "must divide batch_size")
+    parser.add_argument("--adain_scan_unroll", type=int, default=1,
+                        help="lax.scan unroll factor for the generator's "
+                             "AdaIN res-block stack. 5 (full) measured "
+                             "142.3 ms/step flagship combined with the "
+                             "default au-microbatching (+3.4%% over the "
+                             "scan default) but costs a ~45 min cold "
+                             "compile on the remote server — opt-in for "
+                             "long production runs, not the default")
     parser.add_argument("--split_step", default="auto",
                         choices=["auto", "always", "never"],
                         help="two-phase split train step (each phase a "
