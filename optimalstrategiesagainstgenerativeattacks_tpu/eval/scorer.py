@@ -68,14 +68,16 @@ def real_quantile_threshold(score_real: np.ndarray, accept_frac: float) -> float
 def balanced_threshold(score_real: np.ndarray, score_fake: np.ndarray) -> float:
     """Oracle calibration (analysis only): the threshold maximising balanced
     accuracy 0.5*(TPR + TNR) over the pooled real/fake scores."""
-    sr = np.asarray(score_real, np.float64).reshape(-1)
-    sf = np.asarray(score_fake, np.float64).reshape(-1)
+    sr = np.sort(np.asarray(score_real, np.float64).reshape(-1))
+    sf = np.sort(np.asarray(score_fake, np.float64).reshape(-1))
     cand = np.unique(np.concatenate([sr, sf]))
     # midpoints between consecutive candidates + outer sentinels
     th = np.concatenate([[cand[0] - 1.0], (cand[:-1] + cand[1:]) / 2.0,
                          [cand[-1] + 1.0]])
-    tpr = (sr[None, :] >= th[:, None]).mean(axis=1)
-    tnr = (sf[None, :] < th[:, None]).mean(axis=1)
+    # sort-based sweep, O(N log N): searchsorted(x, th, 'left') counts x < th,
+    # so TPR = P(sr >= th) and TNR = P(sf < th) without the O(N^2) matrices.
+    tpr = 1.0 - np.searchsorted(sr, th, side="left") / sr.size
+    tnr = np.searchsorted(sf, th, side="left") / sf.size
     return float(th[np.argmax(0.5 * (tpr + tnr))])
 
 

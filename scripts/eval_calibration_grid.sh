@@ -6,12 +6,15 @@
 # Usage: eval_calibration_grid.sh <exp_dir> [<out_dir>] [<ds_root>]
 #   writes <out_dir>/cal_eval_<step>.csv and <out_dir>/scores_<step>/
 set -u
+shopt -s nullglob
 EXP=${1:?experiment dir}
 OUT=${2:-docs/flag_cal}
 DS=${3:-/tmp/hard_glyphs32}
 cd "$(dirname "$0")/.."
 mkdir -p "$OUT"
-for ck in "$EXP"/ckpts/model_*; do
+cks=("$EXP"/ckpts/model_*)
+[ ${#cks[@]} -eq 0 ] && { echo "no checkpoints under $EXP/ckpts" >&2; exit 1; }
+for ck in "${cks[@]}"; do
   name=$(basename "$ck")
   step=$((10#${name#model_}))
   csv=$(printf "%s/cal_eval_%08d.csv" "$OUT" "$step")

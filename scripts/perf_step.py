@@ -120,8 +120,10 @@ def main():
     p.add_argument("--au-microbatch", type=int, default=0,
                    help="sequential batch chunks for the authenticator "
                         "update (grad accumulation; exact). 0 = auto (the "
-                        "shipped policy: 2 at img >= 64); 1 forces the "
-                        "full-batch A/B arm")
+                        "shipped ImageGameConfig.resolved_hbm_policy: chunks "
+                        "of >= 8 episodes capped at c=16 for img >= 64, "
+                        "c = min(8, batch//16) for img < 64 at batch >= 64); "
+                        "1 forces the full-batch A/B arm")
     p.add_argument("--compile-only", action="store_true",
                    help="lower+compile the phases (warms the persistent "
                         "cache via the remote compile server) and exit "
