@@ -252,6 +252,54 @@ def main():
         traceback.print_exc()
         vox = {"error": f"{type(e).__name__}: {e}"[:500]}
 
+    # third tracked workload family: the synthetic Gaussian game at the
+    # reference protocol (d=10, m=1, n=5, k=10, B=4096, lr 1e-4 —
+    # /root/reference/train_gim_on_gaussians.py defaults with --src_dim 10
+    # --n 5; the adjudicated-convergence config in STATUS.md).  The
+    # production loop scans chunks of steps inside one XLA program; bench
+    # the same shape (100-step chunks, value-fetched per chunk).
+    gauss = None
+    try:
+        from optimalstrategiesagainstgenerativeattacks_tpu.models import (
+            gaussian as gmodels,
+        )
+        from optimalstrategiesagainstgenerativeattacks_tpu.train import (
+            gaussian as gtrain,
+        )
+        from optimalstrategiesagainstgenerativeattacks_tpu.utils.config import (
+            GaussianGameConfig,
+        )
+
+        gcfg = GaussianGameConfig(batch_size=4096, m=1, n=5, k=10, src_dim=10)
+        gau = gmodels.get_au(gcfg.src_dim)
+        gim = gmodels.get_im(gcfg.src_dim)
+        gstate, gopt_au, gopt_im = gtrain.create_state(
+            gcfg, gau, gim, jax.random.PRNGKey(0)
+        )
+        chunk = 100
+        gfn = gtrain.make_train_fn(gcfg, gau, gim, gopt_au, gopt_im,
+                                   n_steps=chunk)
+        gstate, gmetrics = gfn(gstate)  # compile + warm
+        float(gmetrics["au_loss"][-1])
+        gstate, gmetrics = gfn(gstate)
+        float(gmetrics["au_loss"][-1])
+        gn_chunks = 10
+        t0 = time.perf_counter()
+        for _ in range(gn_chunks):
+            gstate, gmetrics = gfn(gstate)
+        float(gmetrics["au_loss"][-1])
+        g_sps = gn_chunks * chunk / (time.perf_counter() - t0)
+        gauss = {
+            "steps_per_sec": round(g_sps, 1),
+            "batch_size": gcfg.batch_size,
+            "episodes_per_sec": round(g_sps * gcfg.batch_size, 0),
+        }
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc()
+        gauss = {"error": f"{type(e).__name__}: {e}"[:500]}
+
     print(
         json.dumps(
             {
@@ -269,6 +317,7 @@ def main():
                     tflops_per_step * 1e12 * steps_per_sec / 197e12, 3
                 ),
                 **({"vox_64x3_reg10": vox} if vox is not None else {}),
+                **({"gaussian_d10": gauss} if gauss is not None else {}),
             }
         )
     )
