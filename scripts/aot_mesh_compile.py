@@ -120,8 +120,7 @@ def aot_compile_config(cfg, mesh, verbose: bool = True) -> dict:
         compiled = phase.lower(*args).compile()
         dt_s = time.perf_counter() - t0
         try:
-            size = int(sum(compiled.memory_analysis().generated_code_size_in_bytes
-                           for _ in [0]))
+            size = int(compiled.memory_analysis().generated_code_size_in_bytes)
         except Exception:
             size = -1
         results[name] = {"seconds": round(dt_s, 1),
@@ -130,6 +129,24 @@ def aot_compile_config(cfg, mesh, verbose: bool = True) -> dict:
             print(f"  {name}: compiled+partitioned in {dt_s:.1f}s "
                   f"(code {size} B)", flush=True)
     return results
+
+
+def tracked_configs():
+    """The two BENCH-tracked production configs, full shape."""
+    from optimalstrategiesagainstgenerativeattacks_tpu.utils.config import (
+        ImageGameConfig,
+    )
+
+    return {
+        "flagship": ImageGameConfig(
+            batch_size=128, m=1, n=5, k=5, img_size=32, img_channels=1,
+            style_dim=512, compute_dtype="bfloat16",
+        ),
+        "vox": ImageGameConfig(
+            batch_size=128, m=1, n=5, k=5, img_size=64, img_channels=3,
+            style_dim=512, compute_dtype="bfloat16", reg_param=10.0,
+        ),
+    }
 
 
 def main(argv=None):
@@ -142,29 +159,21 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     _force_cpu(args.n_devices)
+    from optimalstrategiesagainstgenerativeattacks_tpu.utils.runtime import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     import jax
 
     from optimalstrategiesagainstgenerativeattacks_tpu.parallel.mesh import create_mesh
-    from optimalstrategiesagainstgenerativeattacks_tpu.utils.config import (
-        ImageGameConfig,
-    )
 
     devices = jax.devices()[: args.n_devices]
     mesh = create_mesh(devices, model_parallel=args.model_parallel)
     print(f"mesh: {dict(mesh.shape)} over {len(devices)} {devices[0].platform} "
           "devices", flush=True)
 
-    tracked = {
-        # the two BENCH-tracked production configs, full shape
-        "flagship": ImageGameConfig(
-            batch_size=128, m=1, n=5, k=5, img_size=32, img_channels=1,
-            style_dim=512, compute_dtype="bfloat16",
-        ),
-        "vox": ImageGameConfig(
-            batch_size=128, m=1, n=5, k=5, img_size=64, img_channels=3,
-            style_dim=512, compute_dtype="bfloat16", reg_param=10.0,
-        ),
-    }
+    tracked = tracked_configs()
     out = {"mesh": {k: int(v) for k, v in mesh.shape.items()}}
     for name in args.configs.split(","):
         cfg = tracked[name.strip()]

@@ -12,6 +12,7 @@ ROOT=${1:?exp root}; shift
 DS=${DS:-/tmp/hard_glyphs32}
 OUT=${OUT:-docs/hard_head_to_head}
 STEPS=${STEPS:-"400 800 1200 2000 4999"}
+IMG=${IMG:-16}   # episode size must match the trained model (args.json)
 cd "$(dirname "$0")/.."
 for s in "$@"; do
   for st in $STEPS; do
@@ -23,7 +24,7 @@ for s in "$@"; do
     [ -e "$csv" ] && { echo "have $csv"; continue; }
     echo "== seed $s step $st"
     python eval_gim_on_authentication.py --ds_root "$DS" --split val \
-      --dataset_type omniglot --gim_exp_dir "$ROOT/seed_$s" \
+      --dataset_type omniglot --img_size "$IMG" --gim_exp_dir "$ROOT/seed_$s" \
       --specific_model "$ck" --csv_file_path "$csv" || exit 1
   done
 done
