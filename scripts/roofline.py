@@ -135,11 +135,32 @@ def main():
         else:
             print("  ".join(f"{str(c):<{w}}" for c, w in zip(cols, widths)))
 
+    # A `while` op's event SPANS its whole loop execution, and the body ops
+    # ALSO record their own events on the same line — so while rows double-
+    # count their children's busy time, and their flops/bytes metadata count
+    # the body ONCE (not x trip-count).  Report the while spans separately:
+    # busy-excluding-while + the child ops' own rows is the honest per-op
+    # accounting; (while_span - children_busy) is loop overhead, which we
+    # can bound by wall - busy_excl_while.
+    while_span = sum(r["t"] for r in rows if r["category"] == "while")
+    busy_excl = total_t - while_span
+    bound_excl = total_bound - sum(
+        r["bound"] for r in rows if r["category"] == "while")
+    head_excl = total_head - sum(
+        r["headroom"] for r in rows if r["category"] == "while")
+
     print(f"peaks: {peak_tf:.0f} TFLOP/s, {peak_bw:.0f} GB/s HBM   "
-          f"steps captured: {args.steps}")
+          f"steps assumed: {args.steps} (divisor, not detected — must match "
+          "the traced region)")
     print(f"device busy: {total_t:.2f} ms/step | per-op roofline bound "
           f"sum: {total_bound:.2f} ms | per-op headroom sum: "
           f"{total_head:.2f} ms")
+    if while_span > 0:
+        print(f"NOTE while spans: {while_span:.2f} ms/step double-count "
+              "their body ops (which also record their own events) and "
+              "their flops/bytes count the body once, not x trip-count.")
+        print(f"excluding while rows: busy {busy_excl:.2f} ms/step | "
+              f"bound {bound_excl:.2f} ms | headroom {head_excl:.2f} ms")
     print(f"step totals: {step_flops/1e12:.2f} TFLOP -> "
           f"{step_flops/(peak_tf*1e12)*1e3:.1f} ms MXU roof | "
           f"{step_bytes/1e9:.1f} GB -> "
